@@ -33,16 +33,19 @@ def triangulate(T_w_s0, T_w_s1, uv0, uv1):
         rows.append(u * M[..., 2, :] - M[..., 0, :])
         rows.append(v * M[..., 2, :] - M[..., 1, :])
     A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
-    # solve A [p;1] = 0  =>  A3 p = -a4 in least squares
+    # solve A [p;1] = 0  =>  A3 p = -a4 in least squares.
+    # QR keeps the condition number un-squared (f32 matters for far points
+    # with near-parallel rays).
     A3 = A[..., :3]
     a4 = A[..., 3]
-    AtA = jnp.einsum("...ij,...ik->...jk", A3, A3)
-    Atb = -jnp.einsum("...ij,...i->...j", A3, a4)
-    det = jnp.linalg.det(AtA)
-    good_cond = jnp.abs(det) > 1e-10
-    AtA_safe = jnp.where(good_cond[..., None, None], AtA,
-                         jnp.eye(3, dtype=AtA.dtype))
-    pw = jnp.linalg.solve(AtA_safe, Atb[..., None])[..., 0]
+    q, r = jnp.linalg.qr(A3)
+    rdiag = jnp.abs(jnp.diagonal(r, axis1=-2, axis2=-1))
+    good_cond = jnp.min(rdiag, axis=-1) > 1e-6
+    r_safe = jnp.where(good_cond[..., None, None], r,
+                       jnp.eye(3, dtype=r.dtype))
+    qtb = -jnp.einsum("...ij,...i->...j", q, a4)
+    pw = jax.scipy.linalg.solve_triangular(r_safe, qtb[..., None],
+                                           lower=False)[..., 0]
 
     def depth_in(T, p):
         Minv = se3_to_mat(se3_inv(T))
