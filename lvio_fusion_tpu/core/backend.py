@@ -1,0 +1,228 @@
+"""Backend: sliding-window BA over the host map.
+
+Functional equivalent of the reference Backend thread (backend.cpp:28-245):
+extract the active window from the map, assemble fixed-capacity factor
+tables, run the jitted Schur-LM solve, write optimized poses/depths back,
+reject outlier observations by reprojection error, and return the rigid
+correction applied to the newest keyframe so the frontend can propagate it
+(PoseGraph::ForwardUpdate semantics).
+
+Window semantics: like the reference, landmarks anchored inside the window
+contribute stereo + two-frame factors; landmarks anchored before it
+contribute pose-only factors at their cached world positions
+(backend.cpp:117-141). The first (oldest) window keyframe is gauge-fixed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvio_fusion_tpu.core.hostmap import HostMap
+from lvio_fusion_tpu.geometry.se3 import se3_inv, se3_mul
+from lvio_fusion_tpu.solver.ba import (
+    BAParams, PriorTables, VisualTables, make_window_ba,
+)
+
+
+class WindowCaps(NamedTuple):
+    K: int = 8       # keyframes in the window
+    L: int = 512     # landmark slots
+    F: int = 2048    # two-frame observation slots
+    G: int = 1024    # pose-only observation slots
+    Q: int = 16      # prior slots
+
+
+class Backend:
+    def __init__(self, cam_left, cam_right, caps: WindowCaps = WindowCaps(),
+                 num_iters: int = 6, use_imu: bool = False,
+                 imu_linearizer=None, window_seconds: float = 3.0,
+                 reject_px: float = 10.0, stereo_weight_mul: float = 5.0):
+        self.caps = caps
+        self.window_seconds = window_seconds
+        self.reject_px = reject_px
+        self.stereo_weight_mul = stereo_weight_mul
+        self.cam_left = cam_left
+        self.cam_right = cam_right
+        self.use_imu = use_imu
+        self.solve = make_window_ba(cam_left, cam_right, num_iters=num_iters,
+                                    use_imu=use_imu,
+                                    imu_linearizer=imu_linearizer)
+        self._project = jax.jit(lambda pw, T: jax.vmap(
+            lambda p, t: cam_left.world2pixel(p, t))(pw, T))
+
+    def _select_window(self, m: HostMap):
+        """Last K kfs, clipped to window_seconds like backend.cpp:221."""
+        n = m.num_kfs
+        k0 = max(0, n - self.caps.K)
+        t_end = m.kf_time[-1]
+        while k0 < n - 1 and t_end - m.kf_time[k0] > self.window_seconds:
+            k0 += 1
+        return np.arange(k0, n)
+
+    def optimize(self, m: HostMap, imu_tables=None) -> Optional[np.ndarray]:
+        """Run window BA in place on the host map. Returns the rigid
+        correction SE3 (new * old^-1) of the newest keyframe, or None if the
+        window is degenerate."""
+        caps = self.caps
+        kf_idx = self._select_window(m)
+        K_act = len(kf_idx)
+        if K_act < 2:
+            return None
+        kf_local = {int(g): i for i, g in enumerate(kf_idx)}
+
+        # ---- gather observations of window kfs ----
+        obs_lm, obs_kf, obs_px = [], [], []
+        for g in kf_idx:
+            ok = m.obs_ok[g]
+            obs_lm.append(m.obs_lm[g][ok])
+            obs_px.append(m.obs_px[g][ok])
+            obs_kf.append(np.full(ok.sum(), kf_local[int(g)], np.int32))
+        obs_lm = np.concatenate(obs_lm)
+        obs_px = np.concatenate(obs_px).astype(np.float32)
+        obs_kf = np.concatenate(obs_kf)
+
+        lm_anchor_g = np.asarray(m.lm_anchor, np.int64)
+        alive = np.asarray(m.lm_alive, bool)
+        in_window = np.zeros(m.num_landmarks, bool)
+        if len(kf_idx):
+            in_window_kf = np.zeros(m.num_kfs, bool)
+            in_window_kf[kf_idx] = True
+
+        # landmarks anchored inside the window and alive -> optimizable
+        anchored_in = in_window_kf[lm_anchor_g] & alive
+        opt_ids = np.unique(obs_lm[anchored_in[obs_lm]])
+        if len(opt_ids) > caps.L:
+            # keep the most-observed landmarks
+            counts = np.asarray(m.lm_num_obs)[opt_ids]
+            opt_ids = opt_ids[np.argsort(-counts)[: caps.L]]
+        lm_slot = np.full(m.num_landmarks, -1, np.int64)
+        lm_slot[opt_ids] = np.arange(len(opt_ids))
+        L_act = len(opt_ids)
+
+        # ---- split observations ----
+        is_opt = lm_slot[obs_lm] >= 0
+        is_po = (~anchored_in[obs_lm]) & alive[obs_lm]
+
+        # two-frame obs table
+        tf_lm = lm_slot[obs_lm[is_opt]]
+        tf_kf = obs_kf[is_opt]
+        tf_px = obs_px[is_opt]
+        # pose-only obs table
+        po_kf = obs_kf[is_po]
+        po_px = obs_px[is_po]
+        po_pw = np.stack([m.lm_world[i] for i in obs_lm[is_po]]) \
+            if is_po.any() else np.zeros((0, 3), np.float32)
+
+        vis_w = np.asarray([m.kf_weights[g][0] for g in kf_idx], np.float32)
+
+        def pad(a, n, fill=0):
+            a = np.asarray(a)
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            c = min(len(a), n)
+            out[:c] = a[:c]
+            return out
+
+        F, G, L, K, Q = caps.F, caps.G, caps.L, caps.K, caps.Q
+        vt = VisualTables(
+            lm_anchor=jnp.asarray(pad(
+                np.asarray([kf_local[int(a)] for a in lm_anchor_g[opt_ids]],
+                           np.int64), L).astype(np.int32)),
+            lm_first_ob=jnp.asarray(pad(
+                np.stack([m.lm_first_ob[i] for i in opt_ids])
+                if L_act else np.zeros((0, 2)), L).astype(np.float32)),
+            lm_left_ob=jnp.asarray(pad(
+                np.stack([m.lm_left_ob[i] for i in opt_ids])
+                if L_act else np.zeros((0, 2)), L).astype(np.float32)),
+            lm_valid=jnp.asarray(pad(np.ones(L_act, bool), L, False)),
+            lm_weight=jnp.asarray(pad(
+                self.stereo_weight_mul
+                * np.asarray([m.kf_weights[a][0]
+                              for a in lm_anchor_g[opt_ids]], np.float32)
+                if L_act else np.zeros(0), L).astype(np.float32)),
+            obs_lm=jnp.asarray(pad(tf_lm, F).astype(np.int32)),
+            obs_frame=jnp.asarray(pad(tf_kf, F).astype(np.int32)),
+            obs_pixel=jnp.asarray(pad(tf_px, F).astype(np.float32)),
+            obs_weight=jnp.asarray(pad(vis_w[tf_kf], F).astype(np.float32)),
+            obs_valid=jnp.asarray(pad(np.ones(len(tf_lm), bool), F, False)),
+            po_frame=jnp.asarray(pad(po_kf, G).astype(np.int32)),
+            po_pw=jnp.asarray(pad(po_pw, G).astype(np.float32)),
+            po_pixel=jnp.asarray(pad(po_px, G).astype(np.float32)),
+            po_weight=jnp.asarray(pad(vis_w[po_kf], G).astype(np.float32)),
+            po_valid=jnp.asarray(pad(np.ones(len(po_kf), bool), G, False)),
+        )
+
+        # weak prior on every window kf to its current pose (small weight) —
+        # stabilizes kfs that lost most features (backend.cpp:164-178)
+        poses0 = np.stack([m.kf_pose[g] for g in kf_idx]).astype(np.float32)
+        pt = PriorTables(
+            frame=jnp.asarray(pad(np.arange(K_act), Q).astype(np.int32)),
+            pose=jnp.asarray(pad(poses0, Q).astype(np.float32)),
+            weight=jnp.asarray(pad(np.full(K_act, 0.1), Q).astype(np.float32)),
+            valid=jnp.asarray(pad(np.ones(K_act, bool), Q, False)),
+        )
+
+        params = BAParams(
+            poses=jnp.asarray(pad(poses0, K).astype(np.float32)),
+            vel=jnp.asarray(pad(
+                np.stack([m.kf_vel[g] for g in kf_idx]), K).astype(np.float32)),
+            bias=jnp.asarray(pad(
+                np.stack([m.kf_bias[g] for g in kf_idx]), K).astype(np.float32)),
+            inv_depth=jnp.asarray(pad(
+                np.asarray([m.lm_inv_depth[i] for i in opt_ids], np.float32)
+                if L_act else np.zeros(0), L, 1.0).astype(np.float32)),
+        )
+        kf_valid = jnp.asarray(pad(np.ones(K_act, bool), K, False))
+        kf_fixed = jnp.zeros(K, bool).at[0].set(True)
+
+        out, cost = self.solve(params, vt, pt, kf_valid, kf_fixed, imu_tables)
+        new_poses = np.asarray(out.poses)[:K_act]
+        new_depths = np.asarray(out.inv_depth)
+
+        # ---- write back ----
+        old_newest = m.kf_pose[kf_idx[-1]].copy()
+        for i, g in enumerate(kf_idx):
+            m.kf_pose[g] = new_poses[i]
+            if self.use_imu:
+                m.kf_vel[g] = np.asarray(out.vel)[i]
+                m.kf_bias[g] = np.asarray(out.bias)[i]
+        for s, gid in enumerate(opt_ids):
+            m.lm_inv_depth[gid] = float(new_depths[s])
+
+        self._update_world_cache(m, opt_ids)
+        self._reject_outliers(m, kf_idx)
+
+        correction = np.asarray(
+            se3_mul(jnp.asarray(new_poses[-1]),
+                    se3_inv(jnp.asarray(old_newest))))
+        return correction
+
+    def _update_world_cache(self, m: HostMap, lm_ids):
+        if len(lm_ids) == 0:
+            return
+        anchors = np.stack([m.kf_pose[m.lm_anchor[i]] for i in lm_ids])
+        fobs = np.stack([m.lm_first_ob[i] for i in lm_ids])
+        depths = np.asarray([m.lm_inv_depth[i] for i in lm_ids], np.float32)
+        pb = jax.vmap(lambda ob, d: self.cam_right.pixel2robot(ob, 1.0 / d))(
+            jnp.asarray(fobs), jnp.asarray(depths))
+        from lvio_fusion_tpu.geometry.se3 import se3_apply
+        pw = np.asarray(jax.vmap(se3_apply)(jnp.asarray(anchors), pb))
+        for k, i in enumerate(lm_ids):
+            m.lm_world[i] = pw[k]
+
+    def _reject_outliers(self, m: HostMap, kf_idx):
+        """Drop observations with reprojection error > reject_px
+        (backend.cpp:229-245)."""
+        for g in kf_idx:
+            if len(m.obs_lm[g]) == 0:
+                continue
+            ok = m.obs_ok[g]
+            ids = m.obs_lm[g]
+            pw = np.stack([m.lm_world[i] for i in ids])
+            T = np.broadcast_to(m.kf_pose[g], (len(ids), 7))
+            pred = np.asarray(self._project(jnp.asarray(pw), jnp.asarray(T)))
+            err = np.linalg.norm(pred - m.obs_px[g], axis=-1)
+            m.obs_ok[g] = ok & (err < self.reject_px)

@@ -1,0 +1,108 @@
+"""Host-side global map store (keyframes, landmarks, observations).
+
+The reference keeps a mutex-guarded singleton ``Map`` mutated by 7 threads
+(map.h:16-58). Here the global map is plain append-only numpy on the host —
+the TPU never sees it directly; the backend extracts fixed-shape *windows*
+(device tables) from it, solves on-device, and writes results back. All
+device compute stays pure/functional; all bookkeeping is sequential host
+code, which removes the reference's data races by construction.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+
+class HostMap:
+    def __init__(self):
+        # keyframes
+        self.kf_time: List[float] = []
+        self.kf_pose: List[np.ndarray] = []   # (7,) [qw qx qy qz t]
+        self.kf_vel: List[np.ndarray] = []    # (3,)
+        self.kf_bias: List[np.ndarray] = []   # (6,) [ba, bg]
+        self.kf_weights: List[np.ndarray] = []  # (3,) visual/ground/surf (RL)
+        self.kf_good_imu: List[bool] = []
+
+        # landmarks (anchored at a keyframe's right camera)
+        self.lm_anchor: List[int] = []        # kf index
+        self.lm_first_ob: List[np.ndarray] = []  # (2,) right-cam px
+        self.lm_left_ob: List[np.ndarray] = []   # (2,) left-cam px @ anchor
+        self.lm_inv_depth: List[float] = []
+        self.lm_world: List[np.ndarray] = []  # (3,) cached world position
+        self.lm_alive: List[bool] = []
+        self.lm_num_obs: List[int] = []
+
+        # observations grouped per keyframe (left camera)
+        self.obs_lm: List[np.ndarray] = []    # per kf: (n,) int64 landmark ids
+        self.obs_px: List[np.ndarray] = []    # per kf: (n, 2)
+        self.obs_ok: List[np.ndarray] = []    # per kf: (n,) bool (outlier mask)
+
+    # ---- keyframes ----
+
+    @property
+    def num_kfs(self) -> int:
+        return len(self.kf_time)
+
+    def add_keyframe(self, time, pose, vel=None, bias=None, weights=None,
+                     good_imu=False) -> int:
+        self.kf_time.append(float(time))
+        self.kf_pose.append(np.asarray(pose, dtype=np.float32))
+        self.kf_vel.append(np.zeros(3, np.float32) if vel is None
+                           else np.asarray(vel, np.float32))
+        self.kf_bias.append(np.zeros(6, np.float32) if bias is None
+                            else np.asarray(bias, np.float32))
+        # defaults: visual=fx/10-style scale set by caller; ground=1, surf=.01
+        self.kf_weights.append(np.array([1.0, 1.0, 0.01], np.float32)
+                               if weights is None
+                               else np.asarray(weights, np.float32))
+        self.kf_good_imu.append(bool(good_imu))
+        self.obs_lm.append(np.zeros(0, np.int64))
+        self.obs_px.append(np.zeros((0, 2), np.float32))
+        self.obs_ok.append(np.zeros(0, bool))
+        return self.num_kfs - 1
+
+    # ---- landmarks ----
+
+    @property
+    def num_landmarks(self) -> int:
+        return len(self.lm_anchor)
+
+    def add_landmarks(self, anchor_kf: int, first_obs, left_obs, inv_depths,
+                      worlds) -> np.ndarray:
+        """Append a batch; returns the new global landmark ids."""
+        n = len(inv_depths)
+        start = self.num_landmarks
+        self.lm_anchor.extend([anchor_kf] * n)
+        self.lm_first_ob.extend(np.asarray(first_obs, np.float32))
+        self.lm_left_ob.extend(np.asarray(left_obs, np.float32))
+        self.lm_inv_depth.extend(np.asarray(inv_depths, np.float32).tolist())
+        self.lm_world.extend(np.asarray(worlds, np.float32))
+        self.lm_alive.extend([True] * n)
+        self.lm_num_obs.extend([0] * n)
+        return np.arange(start, start + n, dtype=np.int64)
+
+    def add_observations(self, kf_idx: int, lm_ids, pixels):
+        lm_ids = np.asarray(lm_ids, np.int64)
+        pixels = np.asarray(pixels, np.float32)
+        self.obs_lm[kf_idx] = np.concatenate([self.obs_lm[kf_idx], lm_ids])
+        self.obs_px[kf_idx] = np.concatenate([self.obs_px[kf_idx], pixels])
+        self.obs_ok[kf_idx] = np.concatenate(
+            [self.obs_ok[kf_idx], np.ones(len(lm_ids), bool)])
+        for i in lm_ids:
+            self.lm_num_obs[i] += 1
+
+    # ---- queries ----
+
+    def window_kf_indices(self, max_kfs: int) -> np.ndarray:
+        n = self.num_kfs
+        return np.arange(max(0, n - max_kfs), n)
+
+    def poses_array(self) -> np.ndarray:
+        return np.stack(self.kf_pose) if self.kf_pose else np.zeros((0, 7))
+
+    def trajectory(self):
+        """(times, poses) for all keyframes."""
+        return (np.asarray(self.kf_time),
+                self.poses_array())

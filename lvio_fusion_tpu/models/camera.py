@@ -43,7 +43,10 @@ class Camera:
     # --- projection chains (batched over leading dims of p) ---
 
     def sensor2pixel(self, pc):
+        # clamp |z| away from 0: masked/garbage points must not emit NaN
+        # (NaN * 0 = NaN would poison masked normal equations downstream)
         z = pc[..., 2:3]
+        z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
         xy = pc[..., :2] / z
         return xy * jnp.stack([self.fx, self.fy]) + jnp.stack([self.cx, self.cy])
 
