@@ -1,0 +1,54 @@
+"""Benchmark: stereo odometry throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 2x real-time KITTI odometry (cameras at 10 Hz => 20 fps/chip),
+per BASELINE.md rebuild targets. Runs on the default JAX platform (the
+real TPU chip under the driver). Uses a KITTI-shaped synthetic sequence
+(376x1241 grayscale stereo at 10 Hz) when no KITTI dataset is mounted.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    from lvio_fusion_tpu.core.estimator import Estimator, EstimatorConfig
+    from lvio_fusion_tpu.datasets.synthetic import make_sequence
+
+    H, W = int(os.environ.get("BENCH_H", 376)), int(os.environ.get("BENCH_W", 1241))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 30))
+    seq = make_sequence(num_frames=n_frames, H=H, W=W, num_points=600,
+                        fps=10.0, speed=1.4, seed=0)
+    cfg = EstimatorConfig(
+        height=H, width=W, num_features=400, num_features_init=50,
+        num_features_tracking_bad=20, num_features_needed_for_keyframe=120,
+        window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
+        ba_iters=5)
+
+    # warmup: full pipeline once (compile all stages)
+    est = Estimator(seq.cam_left, seq.cam_right, cfg)
+    for fr in seq.frames[:12]:
+        est.input_image(fr.time, fr.left, fr.right)
+
+    # timed steady-state run
+    est = Estimator(seq.cam_left, seq.cam_right, cfg)
+    t0 = time.perf_counter()
+    for fr in seq.frames:
+        est.input_image(fr.time, fr.left, fr.right)
+    dt = time.perf_counter() - t0
+
+    fps = n_frames / dt
+    target_fps = 20.0  # 2x real-time at 10 Hz
+    print(json.dumps({
+        "metric": "kitti_odometry_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / target_fps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,4 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon sitecustomize force-registers the TPU backend via
+# jax.config.update("jax_platforms", "axon,cpu"), which beats env vars —
+# override it back after import so tests run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
