@@ -238,7 +238,9 @@ def make_window_ba(cam_left, cam_right, num_iters: int = 8, use_imu: bool = Fals
               kf_valid, kf_fixed, imu_tables=None):
         K = params.poses.shape[0]
         free_pose = (kf_valid & ~kf_fixed)
-        free_imu = free_pose if use_imu else jnp.zeros_like(free_pose)
+        # gauge-fixing pins only the pose; velocity/bias of fixed kfs stay
+        # free (the IMU chain must be able to correct them)
+        free_imu = kf_valid if use_imu else jnp.zeros_like(free_pose)
         pv = jnp.concatenate([
             jnp.repeat(free_pose[:, None], 6, axis=1),
             jnp.repeat(free_imu[:, None], 9, axis=1),

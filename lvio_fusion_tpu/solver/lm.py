@@ -69,10 +69,17 @@ def schur_solve(sys: BlockSystem, lamb):
     else:
         Hred, bred, inv_Hll = Hpp, sys.bp, None
 
+    # Jacobi preconditioning: mixed factor stiffness (IMU sqrt-info ~1e4 vs
+    # visual ~1) gives cond(H) ~ 1e8, beyond f32 Cholesky. Rescaling to unit
+    # diagonal restores solvability without f64.
+    d = jnp.sqrt(jnp.maximum(jnp.diag(Hred), 1e-12))
+    Hs = Hred / d[:, None] / d[None, :]
+    bs = bred / d
+
     # dense Cholesky on the reduced system (MXU-friendly)
-    eye = jnp.eye(Hred.shape[0], dtype=Hred.dtype)
-    chol = jnp.linalg.cholesky(Hred + 1e-8 * eye)
-    dxp = jax.scipy.linalg.cho_solve((chol, True), bred)
+    eye = jnp.eye(Hs.shape[0], dtype=Hs.dtype)
+    chol = jnp.linalg.cholesky(Hs + 1e-6 * eye)
+    dxp = jax.scipy.linalg.cho_solve((chol, True), bs) / d
     # guard: if Cholesky failed (non-PD), fall back to zero step
     bad = jnp.any(jnp.isnan(chol))
     dxp = jnp.where(bad, jnp.zeros_like(dxp), dxp)
