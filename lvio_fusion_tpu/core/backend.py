@@ -48,9 +48,13 @@ class Backend:
         self.cam_left = cam_left
         self.cam_right = cam_right
         self.use_imu = use_imu
-        self.solve = make_window_ba(cam_left, cam_right, num_iters=num_iters,
-                                    use_imu=use_imu,
-                                    imu_linearizer=imu_linearizer)
+        self.solve_vo = make_window_ba(cam_left, cam_right,
+                                       num_iters=num_iters)
+        if use_imu:
+            from lvio_fusion_tpu.solver.imu_factor import make_imu_linearizer
+            self.solve_vio = make_window_ba(
+                cam_left, cam_right, num_iters=num_iters, use_imu=True,
+                imu_linearizer=imu_linearizer or make_imu_linearizer())
         self._project = jax.jit(lambda pw, T: jax.vmap(
             lambda p, t: cam_left.world2pixel(p, t))(pw, T))
 
@@ -63,7 +67,8 @@ class Backend:
             k0 += 1
         return np.arange(k0, n)
 
-    def optimize(self, m: HostMap, imu_tables=None) -> Optional[np.ndarray]:
+    def optimize(self, m: HostMap, imu_tables=None,
+                 imu_ready: bool = False) -> Optional[np.ndarray]:
         """Run window BA in place on the host map. Returns the rigid
         correction SE3 (new * old^-1) of the newest keyframe, or None if the
         window is degenerate."""
@@ -178,7 +183,14 @@ class Backend:
         kf_valid = jnp.asarray(pad(np.ones(K_act, bool), K, False))
         kf_fixed = jnp.zeros(K, bool).at[0].set(True)
 
-        out, cost = self.solve(params, vt, pt, kf_valid, kf_fixed, imu_tables)
+        use_vio = self.use_imu and imu_ready
+        if use_vio and imu_tables is None:
+            imu_tables = self._build_imu_tables(m, kf_idx)
+        if use_vio:
+            out, cost = self.solve_vio(params, vt, pt, kf_valid, kf_fixed,
+                                       imu_tables)
+        else:
+            out, cost = self.solve_vo(params, vt, pt, kf_valid, kf_fixed)
         new_poses = np.asarray(out.poses)[:K_act]
         new_depths = np.asarray(out.inv_depth)
 
@@ -186,7 +198,7 @@ class Backend:
         old_newest = m.kf_pose[kf_idx[-1]].copy()
         for i, g in enumerate(kf_idx):
             m.kf_pose[g] = new_poses[i]
-            if self.use_imu:
+            if use_vio:
                 m.kf_vel[g] = np.asarray(out.vel)[i]
                 m.kf_bias[g] = np.asarray(out.bias)[i]
         for s, gid in enumerate(opt_ids):
@@ -199,6 +211,43 @@ class Backend:
             se3_mul(jnp.asarray(new_poses[-1]),
                     se3_inv(jnp.asarray(old_newest))))
         return correction
+
+    def _build_imu_tables(self, m: HostMap, kf_idx):
+        """Stack stored preintegrations between consecutive window kfs
+        into a fixed-capacity ImuFactorTables (M = K-1 slots)."""
+        from lvio_fusion_tpu.models.sensors import GRAVITY
+        from lvio_fusion_tpu.solver.imu_factor import (
+            ImuFactorTables, sqrt_info_from_cov,
+        )
+        M = self.caps.K - 1
+        dp = np.zeros((M, 3), np.float32)
+        dq = np.zeros((M, 4), np.float32); dq[:, 0] = 1.0
+        dv = np.zeros((M, 3), np.float32)
+        sum_dt = np.ones((M,), np.float32)
+        jac = np.tile(np.eye(15, dtype=np.float32), (M, 1, 1))
+        cov = np.tile(np.eye(15, dtype=np.float32), (M, 1, 1))
+        lin_ba = np.zeros((M, 3), np.float32)
+        lin_bg = np.zeros((M, 3), np.float32)
+        valid = np.zeros((M,), bool)
+        for s, (gi, gj) in enumerate(zip(kf_idx[:-1], kf_idx[1:])):
+            if s >= M:
+                break
+            p = m.kf_preint[gj]
+            if p is None or not (m.kf_good_imu[gi] and m.kf_good_imu[gj]):
+                continue
+            dp[s], dq[s], dv[s] = p["dp"], p["dq"], p["dv"]
+            sum_dt[s], jac[s], cov[s] = p["sum_dt"], p["jac"], p["cov"]
+            lin_ba[s], lin_bg[s] = p["lin_ba"], p["lin_bg"]
+            valid[s] = True
+        sqrt_info = np.asarray(sqrt_info_from_cov(jnp.asarray(cov)))
+        return ImuFactorTables(
+            frame_i=jnp.asarray(np.arange(M, dtype=np.int32)),
+            frame_j=jnp.asarray(np.arange(1, M + 1, dtype=np.int32)),
+            dp=jnp.asarray(dp), dq=jnp.asarray(dq), dv=jnp.asarray(dv),
+            sum_dt=jnp.asarray(sum_dt), jac=jnp.asarray(jac),
+            sqrt_info=jnp.asarray(sqrt_info), lin_ba=jnp.asarray(lin_ba),
+            lin_bg=jnp.asarray(lin_bg), valid=jnp.asarray(valid),
+            g_norm=jnp.float32(GRAVITY))
 
     def _update_world_cache(self, m: HostMap, lm_ids):
         if len(lm_ids) == 0:

@@ -46,6 +46,15 @@ class EstimatorConfig:
     ba_iters: int = 6
     visual_weight: float = 1.0  # per-pixel residual weight (RL-modulated)
     use_imu: bool = False
+    # IMU noise densities (reference kitti.yaml imu parameters)
+    acc_n: float = 0.1
+    gyr_n: float = 0.01
+    acc_w: float = 1e-3
+    gyr_w: float = 1e-4
+    g_norm: float = 9.81007
+    init_kfs: int = 10          # kfs needed before VI initialization
+    imu_buf: int = 512          # max IMU samples per keyframe interval
+    imu_frame_buf: int = 64     # max IMU samples per frame interval
 
 
 class Estimator:
@@ -82,6 +91,60 @@ class Estimator:
         self.feat_lm = np.full(N, -1, np.int64)   # global landmark ids
         self.feat_valid = np.zeros(N, bool)
 
+        # IMU state (frontend.cpp imu_buf_ + Preintegrate/PredictState)
+        self.imu_initialized = False
+        self.cur_vel = np.zeros(3, np.float32)
+        self.cur_bias = np.zeros(6, np.float32)
+        self._imu_t: list = []
+        self._imu_acc: list = []
+        self._imu_gyr: list = []
+        self._kf_t: list = []   # samples accumulated since the last keyframe
+        self._kf_acc: list = []
+        self._kf_gyr: list = []
+        if c.use_imu:
+            from lvio_fusion_tpu.ops.imu_preint import preintegrate
+
+            @jax.jit
+            def _preint(acc, gyr, dt, ba, bg):
+                return preintegrate(acc, gyr, dt, ba, bg, c.acc_n, c.gyr_n,
+                                    c.acc_w, c.gyr_w)
+
+            self._preint = _preint
+
+    # ------------------------------------------------------------------
+
+    def input_imu(self, time: float, acc, gyr):
+        """Buffer one IMU sample (Estimator::InputImu)."""
+        self._imu_t.append(float(time))
+        self._imu_acc.append(np.asarray(acc, np.float32))
+        self._imu_gyr.append(np.asarray(gyr, np.float32))
+
+    def _consume_imu(self, t_from, t_to):
+        """Pop buffered samples in (t_from, t_to]; returns (t, acc, gyr)."""
+        take = 0
+        while take < len(self._imu_t) and self._imu_t[take] <= t_to:
+            take += 1
+        ts = self._imu_t[:take]
+        accs = self._imu_acc[:take]
+        gyrs = self._imu_gyr[:take]
+        del self._imu_t[:take], self._imu_acc[:take], self._imu_gyr[:take]
+        return ts, accs, gyrs
+
+    def _preint_buffers(self, ts, accs, gyrs, cap, bias):
+        """Fixed-capacity preintegration of a host sample list. The first
+        sample is the integration anchor (its dt must be 0)."""
+        n = min(len(ts), cap)
+        acc = np.zeros((cap, 3), np.float32)
+        gyr = np.zeros((cap, 3), np.float32)
+        dt = np.zeros((cap,), np.float32)
+        acc[:n] = accs[:n]
+        gyr[:n] = gyrs[:n]
+        for i in range(1, n):
+            dt[i] = max(0.0, ts[i] - ts[i - 1])
+        return self._preint(jnp.asarray(acc), jnp.asarray(gyr),
+                            jnp.asarray(dt), jnp.asarray(bias[:3]),
+                            jnp.asarray(bias[3:]))
+
     # ------------------------------------------------------------------
 
     def input_image(self, time: float, img_left, img_right,
@@ -91,6 +154,14 @@ class Estimator:
         pyr_right = None
 
         if self.status == self.BUILDING:
+            if self.cfg.use_imu:
+                # drain stale samples; keep the newest as the integration
+                # anchor for the first keyframe interval
+                ts, accs, gyrs = self._consume_imu(-np.inf, time)
+                self._kf_t += ts
+                self._kf_acc += accs
+                self._kf_gyr += gyrs
+                self._reset_kf_imu_buffer()
             pose = (np.asarray(se3_identity()) if init_pose is None
                     else np.asarray(init_pose, np.float32))
             pyr_right = self.preprocess(jnp.asarray(img_right))
@@ -105,6 +176,25 @@ class Estimator:
         # ---- per-frame tracking ----
         pose_pred = np.asarray(se3_mul(jnp.asarray(self.last_pose),
                                        jnp.asarray(self.relative)))
+        if self.cfg.use_imu:
+            ts, accs, gyrs = self._consume_imu(self.last_time, time)
+            self._kf_t += ts
+            self._kf_acc += accs
+            self._kf_gyr += gyrs
+            if self.imu_initialized and len(ts) >= 2:
+                # IMU state prediction (frontend.cpp PredictState)
+                from lvio_fusion_tpu.ops.imu_preint import predict_state
+                p = self._preint_buffers(ts, accs, gyrs,
+                                         self.cfg.imu_frame_buf,
+                                         self.cur_bias)
+                pose_j, vel_j = predict_state(
+                    p, jnp.asarray(self.last_pose),
+                    jnp.asarray(self.cur_vel),
+                    jnp.asarray(self.cur_bias[:3]),
+                    jnp.asarray(self.cur_bias[3:]),
+                    jnp.float32(self.cfg.g_norm))
+                pose_pred = np.asarray(pose_j)
+                self.cur_vel = np.asarray(vel_j)
         lm_world = np.zeros((len(self.feat_lm), 3), np.float32)
         sel = self.feat_valid
         if sel.any():
@@ -171,7 +261,8 @@ class Estimator:
     def _create_keyframe(self, time, pyr_left, pyr_right, pose) -> np.ndarray:
         """Persist tracked observations, detect new landmarks, run BA."""
         kf_idx = self.map.add_keyframe(
-            time, pose, weights=np.array(
+            time, pose, vel=self.cur_vel, bias=self.cur_bias,
+            weights=np.array(
                 [self.cfg.visual_weight, 1.0, 0.01], np.float32))
         sel = self.feat_valid
         if sel.any():
@@ -184,11 +275,98 @@ class Estimator:
         self._insert_new_landmarks(kf_idx, kf, np.asarray(kf.valid))
         self.last_kf_time = time
 
-        correction = self.backend.optimize(self.map)
+        if self.cfg.use_imu:
+            self._attach_kf_preintegration(kf_idx)
+            if (not self.imu_initialized
+                    and self.map.num_kfs >= self.cfg.init_kfs):
+                self._initialize_imu()
+
+        correction = self.backend.optimize(self.map,
+                                           imu_ready=self.imu_initialized)
         if correction is not None:
-            new_pose = self.map.kf_pose[kf_idx]
-            return np.asarray(new_pose)
+            if self.cfg.use_imu and self.imu_initialized:
+                self.cur_vel = self.map.kf_vel[kf_idx].copy()
+                self.cur_bias = self.map.kf_bias[kf_idx].copy()
+            return np.asarray(self.map.kf_pose[kf_idx])
         return pose
+
+    def _attach_kf_preintegration(self, kf_idx):
+        """Integrate the since-last-kf sample buffer and store it on the new
+        keyframe (Frontend::Preintegrate per-keyframe target)."""
+        if kf_idx == 0 or len(self._kf_t) < 2:
+            self._reset_kf_imu_buffer()
+            return
+        p = self._preint_buffers(self._kf_t, self._kf_acc, self._kf_gyr,
+                                 self.cfg.imu_buf,
+                                 self.map.kf_bias[kf_idx - 1])
+        self.map.kf_preint[kf_idx] = {
+            "dp": np.asarray(p.dp), "dq": np.asarray(p.dq),
+            "dv": np.asarray(p.dv), "sum_dt": np.asarray(p.sum_dt),
+            "jac": np.asarray(p.jac), "cov": np.asarray(p.cov),
+            "lin_ba": np.asarray(p.lin_ba), "lin_bg": np.asarray(p.lin_bg),
+        }
+        self.map.kf_good_imu[kf_idx] = True
+        if kf_idx == 1:
+            self.map.kf_good_imu[0] = True
+        self._reset_kf_imu_buffer()
+
+    def _reset_kf_imu_buffer(self):
+        """Keep the last sample as the next segment's integration anchor."""
+        if self._kf_t:
+            self._kf_t = self._kf_t[-1:]
+            self._kf_acc = self._kf_acc[-1:]
+            self._kf_gyr = self._kf_gyr[-1:]
+
+    def _initialize_imu(self):
+        """Run VI initialization over stored preintegrations and gravity-
+        align the whole map (Initializer::Initialize +
+        Map::ApplyGravityRotation)."""
+        import jax as _jax
+
+        from lvio_fusion_tpu.core.imu_init import (
+            gravity_alignment, inertial_init,
+        )
+        from lvio_fusion_tpu.geometry.so3 import quat_mul, quat_rotate
+
+        m = self.map
+        # need a contiguous chain of preintegrations over all kfs
+        pres = [m.kf_preint[i] for i in range(1, m.num_kfs)]
+        if any(p is None for p in pres):
+            return
+        pre = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[{k: v for k, v in p.items()} for p in pres])
+        from lvio_fusion_tpu.ops.imu_preint import Preintegration
+        pre = Preintegration(dp=pre["dp"], dq=pre["dq"], dv=pre["dv"],
+                             sum_dt=pre["sum_dt"], jac=pre["jac"],
+                             cov=pre["cov"], lin_ba=pre["lin_ba"],
+                             lin_bg=pre["lin_bg"])
+        poses = jnp.asarray(np.stack(m.kf_pose))
+        init = inertial_init(poses, pre, jnp.float32(self.cfg.g_norm))
+        align = gravity_alignment(init.rwg, self.cfg.g_norm)
+
+        vels = np.asarray(jax.vmap(lambda v: quat_rotate(align, v))(init.vel))
+        bias = np.concatenate([np.asarray(init.ba), np.asarray(init.bg)])
+        for i in range(m.num_kfs):
+            q = np.asarray(quat_mul(align, jnp.asarray(m.kf_pose[i][:4])))
+            t = np.asarray(quat_rotate(align, jnp.asarray(m.kf_pose[i][4:])))
+            m.kf_pose[i] = np.concatenate([q, t]).astype(np.float32)
+            m.kf_vel[i] = vels[i]
+            m.kf_bias[i] = bias.astype(np.float32)
+        # rotate cached landmark world positions
+        if m.num_landmarks:
+            lw = jnp.asarray(np.stack(m.lm_world))
+            lw = np.asarray(jax.vmap(lambda p: quat_rotate(align, p))(lw))
+            for i in range(m.num_landmarks):
+                m.lm_world[i] = lw[i]
+        # rotate the frontend's live state
+        q = np.asarray(quat_mul(align, jnp.asarray(self.last_pose[:4])))
+        t = np.asarray(quat_rotate(align, jnp.asarray(self.last_pose[4:])))
+        self.last_pose = np.concatenate([q, t]).astype(np.float32)
+        self.cur_vel = np.asarray(
+            quat_rotate(align, jnp.asarray(self.cur_vel))).astype(np.float32)
+        self.cur_bias = bias.astype(np.float32)
+        self.imu_initialized = True
 
     def _insert_new_landmarks(self, kf_idx, kf, valid):
         """Append triangulated landmarks + claim free feature slots."""

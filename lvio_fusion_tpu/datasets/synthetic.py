@@ -20,6 +20,7 @@ import numpy as np
 from lvio_fusion_tpu.geometry.se3 import (
     se3_apply, se3_exp, se3_identity, se3_inv, se3_make, se3_mul,
 )
+from lvio_fusion_tpu.geometry.so3 import quat_rotate
 from lvio_fusion_tpu.models.camera import Camera
 
 
@@ -64,7 +65,8 @@ def _render(px, valid, H, W, brightness, sigma=1.3, rad=4):
 
 
 def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
-                  speed=1.2, yaw_rate=0.02, seed=0) -> Sequence:
+                  speed=1.2, yaw_rate=0.02, seed=0, with_imu=False,
+                  imu_rate=200.0, g_norm=9.81007) -> Sequence:
     rng = np.random.default_rng(seed)
     fx = fy = 0.9 * W
     cx, cy = W / 2.0, H / 2.0
@@ -112,6 +114,57 @@ def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
         frames.append(StereoFrame(float(times[i]), np.asarray(l),
                                   np.asarray(r)))
 
+    imu_times = imu_acc = imu_gyr = None
+    if with_imu:
+        # constant body twist per frame-step => exact closed-form IMU:
+        # omega_b = phi/dt, v_b = V(phi) rho/dt (body-frame velocity of the
+        # screw), world accel a_w = R [omega]x v_w_b. The sequence's world
+        # frame is the first CAMERA frame (z forward, y down), so gravity
+        # acceleration is +g_norm * y_world; the VI initializer must find
+        # that tilt (nothing is gravity-aligned here by construction).
+        twist = np.array([0.0, yaw_rate * dt, 0.0, 0.0, 0.0, speed * dt],
+                         np.float32)
+        omega_b = twist[:3] / dt
+        # body-frame velocity: from T(t)=T0 exp(t xi), dp/dt at body = V rho
+        # for small yaw_rate V ~ I; compute numerically instead for safety
+        g_w = np.array([0.0, g_norm, 0.0], np.float32)  # 'down' = +y
+
+        n_sub = max(1, int(round(imu_rate * dt)))
+        imu_times_l, acc_l, gyr_l = [], [], []
+        posesd = np.asarray(poses, np.float64)
+        # dense pose sampling via fractional twist exponentials
+        from lvio_fusion_tpu.geometry.se3 import se3_exp as _se3_exp
+        h = dt / n_sub
+        for i in range(num_frames - 1):
+            for k in range(n_sub):
+                t_abs = times[i] + k * h
+                frac = k / n_sub
+                T = np.asarray(se3_mul(poses[i], _se3_exp(
+                    jnp.asarray(twist * frac, jnp.float32))))
+                q = T[:4]
+                # world velocity: R(t) v_b ; v_b from twist rate
+                # numerical: v_w = (p(t+e)-p(t-e))/2e
+                e = 1e-3
+                Tp = np.asarray(se3_mul(poses[i], _se3_exp(
+                    jnp.asarray(twist * (frac + e / dt), jnp.float32))))
+                Tm = np.asarray(se3_mul(poses[i], _se3_exp(
+                    jnp.asarray(twist * (frac - e / dt), jnp.float32))))
+                v_w = (Tp[4:] - Tm[4:]) / (2 * e)
+                a_w = np.asarray(quat_rotate(jnp.asarray(q), jnp.asarray(
+                    np.cross(omega_b, np.asarray(
+                        quat_rotate(jnp.asarray([q[0], -q[1], -q[2], -q[3]]),
+                                    jnp.asarray(v_w, jnp.float32)))))))
+                f_b = np.asarray(quat_rotate(
+                    jnp.asarray([q[0], -q[1], -q[2], -q[3]]),
+                    jnp.asarray(a_w - g_w, jnp.float32)))
+                imu_times_l.append(t_abs)
+                acc_l.append(f_b)
+                gyr_l.append(omega_b.copy())
+        imu_times = np.asarray(imu_times_l)
+        imu_acc = np.asarray(acc_l, np.float32)
+        imu_gyr = np.asarray(gyr_l, np.float32)
+
     return Sequence(frames=frames, gt_times=times,
                     gt_poses=np.asarray(poses),
-                    cam_left=cam_left, cam_right=cam_right)
+                    cam_left=cam_left, cam_right=cam_right,
+                    imu_times=imu_times, imu_acc=imu_acc, imu_gyr=imu_gyr)
