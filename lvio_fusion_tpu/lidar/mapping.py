@@ -1,0 +1,172 @@
+"""Lidar scan-to-map refinement + world-frame feature map maintenance.
+
+Functional equivalent of the reference Mapping + FeatureAssociation
+scan-to-map stage (mapping.cpp:114-229, association.cpp:270-384):
+
+  * local map = merged world-frame ground/surf clouds of the last 3 lidar
+    keyframes (BuildMapFrame)
+  * per keyframe, two DoF-split refinements of the frame pose:
+    ground points -> {roll, pitch, z}, surf points -> {yaw, x, y}
+    (LidarPlaneErrorRPZ / YXY), each with a soft prior holding the
+    optimized DoF near the BA pose, weighted by the visual feature count
+  * correspondences: 3-NN by brute-force distance matrix (an MXU matmul)
+    instead of a kd-tree; plane normal from the 3 neighbors
+  * DoF restriction via a mask on the left-multiplicative se3 tangent
+    (world axes; equivalent to the reference's relative-rpyxyz split for
+    near-upright vehicle motion)
+
+All stages are fixed-shape jitted programs; the host side only merges
+numpy clouds and updates the map store.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvio_fusion_tpu.geometry.se3 import se3_apply, se3_boxplus, se3_mul
+from lvio_fusion_tpu.ops.lidar import voxel_downsample
+
+RPZ_MASK = (1.0, 1.0, 0.0, 0.0, 0.0, 1.0)  # roll, pitch, z
+YXY_MASK = (0.0, 0.0, 1.0, 1.0, 1.0, 0.0)  # yaw, x, y
+
+
+def knn3_planes(query_w, query_valid, map_pts, map_valid, dist_thresh):
+    """3-NN plane fit: returns (plane_pt (N,3), normal (N,3), ok (N,))."""
+    d2 = (jnp.sum(query_w ** 2, -1, keepdims=True)
+          - 2.0 * query_w @ map_pts.T
+          + jnp.sum(map_pts ** 2, -1)[None, :])
+    d2 = jnp.where(map_valid[None, :], d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, 3)  # (N, 3)
+    dists = -neg
+    pts = map_pts[idx]  # (N, 3, 3)
+    a, b, c = pts[:, 0], pts[:, 1], pts[:, 2]
+    n = jnp.cross(b - a, c - a)
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    normal = n / jnp.maximum(nn, 1e-9)
+    ok = (query_valid & jnp.all(dists < dist_thresh, axis=-1)
+          & (nn[:, 0] > 1e-6) & jnp.all(jnp.isfinite(dists), axis=-1))
+    return a, normal, ok
+
+
+def _masked_gn(pose, pose_prior, pts_body, pts_valid, map_pts, map_valid,
+               dof_mask, dist_thresh, w_point, w_prior, iters: int):
+    """DoF-masked Gauss-Newton point-to-plane alignment."""
+    mask = jnp.asarray(dof_mask, pose.dtype)
+
+    def body(pose, _):
+        pw = jax.vmap(lambda p: se3_apply(pose, p))(pts_body)
+        plane_pt, normal, ok = knn3_planes(pw, pts_valid, map_pts,
+                                           map_valid, dist_thresh)
+        w = ok.astype(pose.dtype) * w_point
+
+        def residual(xi):
+            T = se3_boxplus(pose, xi * mask)
+            pw2 = jax.vmap(lambda p: se3_apply(T, p))(pts_body)
+            r_pt = jnp.sum((pw2 - plane_pt) * normal, -1) * w
+            # soft prior on the masked DoF toward the BA pose
+            from lvio_fusion_tpu.geometry.se3 import se3_inv, se3_log
+            dx = se3_log(se3_mul(T, se3_inv(pose_prior))) * mask
+            return jnp.concatenate([r_pt, w_prior * dx])
+
+        z = jnp.zeros(6, pose.dtype)
+        r = residual(z)
+        J = jax.jacfwd(residual)(z)
+        H = J.T @ J + jnp.diag(1.0 - mask) + 1e-5 * jnp.eye(6)
+        g = -J.T @ r
+        d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-10))
+        dx = jnp.linalg.solve(H / d[:, None] / d[None, :], g / d) / d
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0) * mask
+        return se3_boxplus(pose, dx), jnp.sum(r * r)
+
+    pose, costs = jax.lax.scan(body, pose, None, length=iters)
+    return pose, costs
+
+
+def make_scan_to_map(iters: int = 4, resolution: float = 0.2):
+    """Build the jitted two-stage refine:
+    refine(pose0, ground, gv, surf, sv, map_g, mgv, map_s, msv,
+           w_ground, w_surf, prior_w) -> pose."""
+
+    @jax.jit
+    def refine(pose0, ground, gv, surf, sv, map_g, mgv, map_s, msv,
+               w_ground, w_surf, prior_w):
+        thr_g = (resolution ** 2) * 100.0
+        thr_s = (resolution ** 2) * 25.0
+        pose, _ = _masked_gn(pose0, pose0, ground, gv, map_g, mgv,
+                             RPZ_MASK, thr_g, w_ground, prior_w, iters)
+        pose, _ = _masked_gn(pose, pose0, surf, sv, map_s, msv,
+                             YXY_MASK, thr_s, w_surf, prior_w, iters)
+        return pose
+
+    return refine
+
+
+class LidarMapping:
+    """Host-side coordinator: per-kf world clouds + local-map refinement."""
+
+    def __init__(self, resolution: float = 0.2, iters: int = 4,
+                 map_cap: int = 6144, num_map_kfs: int = 3):
+        self.resolution = resolution
+        self.num_map_kfs = num_map_kfs
+        self.map_cap = map_cap
+        self.refine_fn = make_scan_to_map(iters, resolution)
+        # world-frame feature clouds per keyframe index
+        self.world_ground = {}
+        self.world_surf = {}
+
+    def to_world(self, m, kf_idx):
+        """(Re-)render this kf's feature clouds into world frame
+        (Mapping::ToWorld)."""
+        f = m.kf_lidar[kf_idx]
+        if f is None:
+            return
+        pose = jnp.asarray(m.kf_pose[kf_idx])
+        for name, store in (("ground", self.world_ground),
+                            ("surf", self.world_surf)):
+            pts = jnp.asarray(f[name])
+            pw = np.asarray(jax.vmap(lambda p: se3_apply(pose, p))(pts))
+            store[kf_idx] = (pw.astype(np.float32), f[name + "_valid"])
+
+    def _local_map(self, kf_idx):
+        """Merge the last num_map_kfs world clouds before kf_idx."""
+        prev = [i for i in sorted(self.world_ground) if i < kf_idx]
+        take = prev[-self.num_map_kfs:]
+        if not take:
+            return None
+
+        def merge(store):
+            pts = np.concatenate([store[i][0] for i in take])
+            val = np.concatenate([store[i][1] for i in take])
+            out = np.zeros((self.map_cap, 3), np.float32)
+            ov = np.zeros(self.map_cap, bool)
+            n = min(len(pts), self.map_cap)
+            out[:n] = pts[:n]
+            ov[:n] = val[:n]
+            return jnp.asarray(out), jnp.asarray(ov)
+
+        return merge(self.world_ground), merge(self.world_surf)
+
+    def refine(self, m, kf_idx) -> bool:
+        """Scan-to-map refine kf pose in place; returns True if it ran."""
+        f = m.kf_lidar[kf_idx]
+        local = self._local_map(kf_idx)
+        if f is None or local is None:
+            self.to_world(m, kf_idx)
+            return False
+        (map_g, mgv), (map_s, msv) = local
+        w = m.kf_weights[kf_idx]
+        n_vis = max(1, len(m.obs_lm[kf_idx]))
+        pose = self.refine_fn(
+            jnp.asarray(m.kf_pose[kf_idx]),
+            jnp.asarray(f["ground"]), jnp.asarray(f["ground_valid"]),
+            jnp.asarray(f["surf"]), jnp.asarray(f["surf_valid"]),
+            map_g, mgv, map_s, msv,
+            jnp.float32(w[1]), jnp.float32(w[2]),
+            jnp.float32(n_vis * w[0] * 0.01))
+        m.kf_pose[kf_idx] = np.asarray(pose)
+        self.to_world(m, kf_idx)
+        return True
