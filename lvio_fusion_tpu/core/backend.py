@@ -74,6 +74,7 @@ class Backend:
         window is degenerate."""
         caps = self.caps
         kf_idx = self._select_window(m)
+        self.last_window_start = int(kf_idx[0]) if len(kf_idx) else 0
         K_act = len(kf_idx)
         if K_act < 2:
             return None

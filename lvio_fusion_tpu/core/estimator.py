@@ -46,6 +46,24 @@ class EstimatorConfig:
     ba_iters: int = 6
     visual_weight: float = 1.0  # per-pixel residual weight (RL-modulated)
     use_imu: bool = False
+    # lidar (reference kitti.yaml lidar parameters)
+    use_lidar: bool = False
+    num_scans: int = 64
+    horizon_scan: int = 1800
+    ang_res_y: float = 0.427
+    ang_bottom: float = 24.9
+    ground_rows: int = 60
+    min_range: float = 5.0
+    max_range: float = 30.0
+    resolution: float = 0.2
+    cycle_time: float = 0.1036
+    max_scan_points: int = 32768
+    max_ground: int = 2048
+    max_surf: int = 2048
+    lidar_map_cap: int = 6144
+    lidar_iters: int = 4
+    lidar_up_axis: str = "z"  # world vertical axis for the DoF split
+    # ('z' once gravity-aligned; 'y' in a raw camera-world)
     # IMU noise densities (reference kitti.yaml imu parameters)
     acc_n: float = 0.1
     gyr_n: float = 0.01
@@ -60,7 +78,8 @@ class EstimatorConfig:
 class Estimator:
     BUILDING, TRACKING, LOST = 0, 1, 2
 
-    def __init__(self, cam_left, cam_right, config: EstimatorConfig):
+    def __init__(self, cam_left, cam_right, config: EstimatorConfig,
+                 lidar_extrinsic=None):
         self.cfg = config
         self.cam_left = cam_left
         self.cam_right = cam_right
@@ -111,7 +130,81 @@ class Estimator:
 
             self._preint = _preint
 
+        # lidar state (Estimator::InputPointCloud + FeatureAssociation)
+        self._scans: list = []  # (time, np points in lidar frame)
+        self._lidar_done = 0    # kfs refined by scan-to-map so far
+        if c.use_lidar:
+            from lvio_fusion_tpu.lidar.mapping import LidarMapping
+            from lvio_fusion_tpu.ops.lidar import make_feature_extractor
+
+            self.lidar_extrinsic = (np.asarray(se3_identity())
+                                    if lidar_extrinsic is None
+                                    else np.asarray(lidar_extrinsic,
+                                                    np.float32))
+            self._lidar_extract = make_feature_extractor(
+                c.num_scans, c.horizon_scan, c.ang_res_y, c.ang_bottom,
+                c.ground_rows, c.min_range, c.max_range, c.resolution,
+                c.max_ground, c.max_surf)
+            self.lidar_mapping = LidarMapping(
+                resolution=c.resolution, iters=c.lidar_iters,
+                map_cap=c.lidar_map_cap, up_axis=c.lidar_up_axis)
+
+            @jax.jit
+            def _to_robot(pts, ext):
+                from lvio_fusion_tpu.geometry.se3 import se3_apply
+                return jax.vmap(lambda p: se3_apply(ext, p))(pts)
+
+            self._lidar_to_robot = _to_robot
+
     # ------------------------------------------------------------------
+
+    def input_pointcloud(self, time: float, points):
+        """Buffer one lidar scan (sensor-frame points)
+        (Estimator::InputPointCloud)."""
+        self._scans.append((float(time), np.asarray(points, np.float32)))
+        # bound the buffer
+        if len(self._scans) > 40:
+            del self._scans[:-40]
+
+    def _attach_kf_lidar(self, kf_idx, time):
+        """Extract features from the scan nearest the keyframe time and
+        store body-frame clouds (FeatureAssociation::AddScan+Process)."""
+        if not self._scans:
+            return
+        c = self.cfg
+        times = np.asarray([t for t, _ in self._scans])
+        i = int(np.argmin(np.abs(times - time)))
+        if abs(times[i] - time) > max(1.5 * c.cycle_time, 0.15):
+            return
+        pts = self._scans[i][1]
+        n = min(len(pts), c.max_scan_points)
+        buf = np.zeros((c.max_scan_points, 3), np.float32)
+        msk = np.zeros(c.max_scan_points, bool)
+        buf[:n] = pts[:n]
+        msk[:n] = True
+        f = self._lidar_extract(jnp.asarray(buf), jnp.asarray(msk))
+        ext = jnp.asarray(self.lidar_extrinsic)
+        self.map.kf_lidar[kf_idx] = {
+            "ground": np.asarray(self._lidar_to_robot(f.ground, ext)),
+            "ground_valid": np.asarray(f.ground_valid),
+            "surf": np.asarray(self._lidar_to_robot(f.surf, ext)),
+            "surf_valid": np.asarray(f.surf_valid),
+        }
+
+    def _run_lidar_mapping(self):
+        """Scan-to-map refine keyframes that left the BA window
+        (backend.cpp:223-227 Mapping::Optimize on old kfs)."""
+        ws = getattr(self.backend, "last_window_start", 0)
+        for j in range(self._lidar_done, ws):
+            self.lidar_mapping.refine(self.map, j)
+        self._lidar_done = max(self._lidar_done, ws)
+
+    def finalize(self):
+        """Flush pending refinements (end of sequence)."""
+        if self.cfg.use_lidar:
+            for j in range(self._lidar_done, self.map.num_kfs):
+                self.lidar_mapping.refine(self.map, j)
+            self._lidar_done = self.map.num_kfs
 
     def input_imu(self, time: float, acc, gyr):
         """Buffer one IMU sample (Estimator::InputImu)."""
@@ -280,9 +373,13 @@ class Estimator:
             if (not self.imu_initialized
                     and self.map.num_kfs >= self.cfg.init_kfs):
                 self._initialize_imu()
+        if self.cfg.use_lidar:
+            self._attach_kf_lidar(kf_idx, time)
 
         correction = self.backend.optimize(self.map,
                                            imu_ready=self.imu_initialized)
+        if self.cfg.use_lidar:
+            self._run_lidar_mapping()
         if correction is not None:
             if self.cfg.use_imu and self.imu_initialized:
                 self.cur_vel = self.map.kf_vel[kf_idx].copy()

@@ -41,6 +41,43 @@ class Sequence:
     imu_times: Optional[np.ndarray] = None
     imu_acc: Optional[np.ndarray] = None
     imu_gyr: Optional[np.ndarray] = None
+    scan_times: Optional[np.ndarray] = None
+    scans: Optional[List[np.ndarray]] = None   # lidar-frame points per scan
+    lidar_extrinsic: Optional[np.ndarray] = None  # SE3 lidar->robot
+
+
+# lidar (x fwd, y left, z up) -> camera/robot (x right, y down, z fwd)
+LIDAR_TO_CAM = np.array([[0.0, -1.0, 0.0],
+                         [0.0, 0.0, -1.0],
+                         [1.0, 0.0, 0.0]])
+
+
+def raycast_scene(origin_w, dirs_w, ground_y, boxes):
+    """Vectorized ray casting against a ground plane (y = ground_y, +y is
+    'down' in the camera world) and axis-aligned boxes.
+
+    dirs_w: (N, 3) unit rays in world frame. Returns (t (N,), hit (N,))."""
+    N = dirs_w.shape[0]
+    t_best = np.full(N, np.inf)
+    # ground plane
+    dy = dirs_w[:, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_g = (ground_y - origin_w[1]) / dy
+    ok = (dy > 1e-6) & (t_g > 0.5) & (t_g < 60.0)
+    t_best = np.where(ok, np.minimum(t_best, t_g), t_best)
+    # boxes: (cx, cz, half, height): vertical sides at x,z; top at
+    # y = ground_y - height
+    for (bx, bz, half, hgt) in boxes:
+        lo = np.array([bx - half, ground_y - hgt, bz - half])
+        hi = np.array([bx + half, ground_y, bz + half])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (lo - origin_w) / dirs_w
+            t2 = (hi - origin_w) / dirs_w
+        tmin = np.minimum(t1, t2).max(1)
+        tmax = np.maximum(t1, t2).min(1)
+        hit = (tmax > tmin) & (tmin > 0.3)
+        t_best = np.where(hit, np.minimum(t_best, tmin), t_best)
+    return t_best, np.isfinite(t_best)
 
 
 def _render(px, valid, H, W, brightness, sigma=1.3, rad=4):
@@ -66,7 +103,8 @@ def _render(px, valid, H, W, brightness, sigma=1.3, rad=4):
 
 def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
                   speed=1.2, yaw_rate=0.02, seed=0, with_imu=False,
-                  imu_rate=200.0, g_norm=9.81007) -> Sequence:
+                  imu_rate=200.0, g_norm=9.81007, with_lidar=False,
+                  lidar_rows=16, lidar_cols=360, ground_y=1.8) -> Sequence:
     rng = np.random.default_rng(seed)
     fx = fy = 0.9 * W
     cx, cy = W / 2.0, H / 2.0
@@ -164,7 +202,50 @@ def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
         imu_acc = np.asarray(acc_l, np.float32)
         imu_gyr = np.asarray(gyr_l, np.float32)
 
+    scan_times = scans = lidar_ext = None
+    if with_lidar:
+        # world layout: ground plane at y=+ground_y (camera y is 'down'),
+        # boxes along the corridor the rig drives through
+        total_len = speed * num_frames * dt
+        boxes = []
+        zs = np.arange(4.0, total_len + 20.0, 6.0)
+        for i, bz in enumerate(zs):
+            bx = 5.0 if i % 2 == 0 else -5.0
+            boxes.append((bx, bz, 1.2, 2.5))
+
+        # lidar ray table in lidar frame (x fwd, z up)
+        rows = np.arange(lidar_rows)
+        cols = np.arange(lidar_cols)
+        vert = np.radians(rows * 2.0 - 15.0)          # ang_res_y=2, bottom=15
+        az = np.radians(90.0 - (cols - lidar_cols / 2) * (360.0 / lidar_cols))
+        vv, aa = np.meshgrid(vert, az, indexing="ij")
+        dirs_l = np.stack([np.cos(vv) * np.sin(aa),
+                           np.cos(vv) * np.cos(aa),
+                           np.sin(vv)], -1).reshape(-1, 3)
+
+        from lvio_fusion_tpu.geometry.so3 import mat_to_quat
+        q_lc = np.asarray(mat_to_quat(jnp.asarray(LIDAR_TO_CAM,
+                                                  jnp.float32)))
+        lidar_ext = np.concatenate([q_lc, np.zeros(3)]).astype(np.float32)
+
+        scan_times = times.copy()
+        scans = []
+        for i in range(num_frames):
+            T = np.asarray(poses[i])
+            Rwb = np.asarray(jax.vmap(quat_rotate, (None, 0))(
+                jnp.asarray(T[:4]), jnp.eye(3))).T
+            Rwl = Rwb @ LIDAR_TO_CAM
+            dirs_w = dirs_l @ Rwl.T
+            origin = T[4:]
+            t_hit, hit = raycast_scene(origin, dirs_w, ground_y, boxes)
+            d_hit = dirs_w[hit] * t_hit[hit][:, None]
+            # world -> lidar (rotation only; lidar co-located with camera)
+            p_l = d_hit @ Rwl
+            scans.append(p_l.astype(np.float32))
+
     return Sequence(frames=frames, gt_times=times,
                     gt_poses=np.asarray(poses),
                     cam_left=cam_left, cam_right=cam_right,
-                    imu_times=imu_times, imu_acc=imu_acc, imu_gyr=imu_gyr)
+                    imu_times=imu_times, imu_acc=imu_acc, imu_gyr=imu_gyr,
+                    scan_times=scan_times, scans=scans,
+                    lidar_extrinsic=lidar_ext)

@@ -30,8 +30,26 @@ import numpy as np
 from lvio_fusion_tpu.geometry.se3 import se3_apply, se3_boxplus, se3_mul
 from lvio_fusion_tpu.ops.lidar import voxel_downsample
 
-RPZ_MASK = (1.0, 1.0, 0.0, 0.0, 0.0, 1.0)  # roll, pitch, z
-YXY_MASK = (0.0, 0.0, 1.0, 1.0, 1.0, 0.0)  # yaw, x, y
+def dof_masks(up_axis: str = "z"):
+    """(ground_mask, surf_mask) over the se3 tangent [phi(3), rho(3)].
+
+    The reference's RPZ/YXY split (lidar_error.hpp:42-110) assumes a
+    gravity-aligned z-up world: ground constrains {roll, pitch, height},
+    obstacles constrain {yaw, horizontal translation}. ``up_axis`` selects
+    which world axis is vertical (pre-gravity-alignment camera worlds have
+    y as the vertical axis).
+    """
+    i = {"x": 0, "y": 1, "z": 2}[up_axis]
+    phi_g = [1.0, 1.0, 1.0]
+    phi_g[i] = 0.0  # ground: rotations about horizontal axes only
+    rho_g = [0.0, 0.0, 0.0]
+    rho_g[i] = 1.0  # ground: vertical translation only
+    ground = tuple(phi_g + rho_g)
+    surf = tuple(1.0 - jnp.asarray(ground))
+    return ground, tuple(float(v) for v in surf)
+
+
+RPZ_MASK, YXY_MASK = dof_masks("z")  # roll,pitch,z / yaw,x,y
 
 
 def knn3_planes(query_w, query_valid, map_pts, map_valid, dist_thresh):
@@ -86,10 +104,12 @@ def _masked_gn(pose, pose_prior, pts_body, pts_valid, map_pts, map_valid,
     return pose, costs
 
 
-def make_scan_to_map(iters: int = 4, resolution: float = 0.2):
+def make_scan_to_map(iters: int = 4, resolution: float = 0.2,
+                     up_axis: str = "z"):
     """Build the jitted two-stage refine:
     refine(pose0, ground, gv, surf, sv, map_g, mgv, map_s, msv,
            w_ground, w_surf, prior_w) -> pose."""
+    g_mask, s_mask = dof_masks(up_axis)
 
     @jax.jit
     def refine(pose0, ground, gv, surf, sv, map_g, mgv, map_s, msv,
@@ -97,9 +117,9 @@ def make_scan_to_map(iters: int = 4, resolution: float = 0.2):
         thr_g = (resolution ** 2) * 100.0
         thr_s = (resolution ** 2) * 25.0
         pose, _ = _masked_gn(pose0, pose0, ground, gv, map_g, mgv,
-                             RPZ_MASK, thr_g, w_ground, prior_w, iters)
+                             g_mask, thr_g, w_ground, prior_w, iters)
         pose, _ = _masked_gn(pose, pose0, surf, sv, map_s, msv,
-                             YXY_MASK, thr_s, w_surf, prior_w, iters)
+                             s_mask, thr_s, w_surf, prior_w, iters)
         return pose
 
     return refine
@@ -109,11 +129,12 @@ class LidarMapping:
     """Host-side coordinator: per-kf world clouds + local-map refinement."""
 
     def __init__(self, resolution: float = 0.2, iters: int = 4,
-                 map_cap: int = 6144, num_map_kfs: int = 3):
+                 map_cap: int = 6144, num_map_kfs: int = 3,
+                 up_axis: str = "z"):
         self.resolution = resolution
         self.num_map_kfs = num_map_kfs
         self.map_cap = map_cap
-        self.refine_fn = make_scan_to_map(iters, resolution)
+        self.refine_fn = make_scan_to_map(iters, resolution, up_axis)
         # world-frame feature clouds per keyframe index
         self.world_ground = {}
         self.world_surf = {}
