@@ -113,9 +113,11 @@ def make_scan_to_map(iters: int = 4, resolution: float = 0.2,
 
     @jax.jit
     def refine(pose0, ground, gv, surf, sv, map_g, mgv, map_s, msv,
-               w_ground, w_surf, prior_w):
-        thr_g = (resolution ** 2) * 100.0
-        thr_s = (resolution ** 2) * 25.0
+               w_ground, w_surf, prior_w, dist_scale=1.0):
+        # dist_scale loosens the correspondence gate (coarse-to-fine
+        # relocation rounds pass >1)
+        thr_g = (resolution ** 2) * 100.0 * dist_scale
+        thr_s = (resolution ** 2) * 25.0 * dist_scale
         pose, _ = _masked_gn(pose0, pose0, ground, gv, map_g, mgv,
                              g_mask, thr_g, w_ground, prior_w, iters)
         pose, _ = _masked_gn(pose, pose0, surf, sv, map_s, msv,
@@ -123,6 +125,21 @@ def make_scan_to_map(iters: int = 4, resolution: float = 0.2,
         return pose
 
     return refine
+
+
+def merge_clouds(store, ids, cap, resolution):
+    """Concatenate world clouds + voxel-dedup (duplicated points across
+    overlapping keyframes make 3-NN plane fits degenerate)."""
+    pts = np.concatenate([store[i][0] for i in ids])
+    val = np.concatenate([store[i][1] for i in ids])
+    out = np.zeros((cap, 3), np.float32)
+    ov = np.zeros(cap, bool)
+    n = min(len(pts), cap)
+    out[:n] = pts[:n]
+    ov[:n] = val[:n]
+    p, v = voxel_downsample(jnp.asarray(out), jnp.asarray(ov),
+                            resolution * 0.5, cap)
+    return p, v
 
 
 class LidarMapping:
@@ -159,17 +176,10 @@ class LidarMapping:
         if not take:
             return None
 
-        def merge(store):
-            pts = np.concatenate([store[i][0] for i in take])
-            val = np.concatenate([store[i][1] for i in take])
-            out = np.zeros((self.map_cap, 3), np.float32)
-            ov = np.zeros(self.map_cap, bool)
-            n = min(len(pts), self.map_cap)
-            out[:n] = pts[:n]
-            ov[:n] = val[:n]
-            return jnp.asarray(out), jnp.asarray(ov)
-
-        return merge(self.world_ground), merge(self.world_surf)
+        return (merge_clouds(self.world_ground, take, self.map_cap,
+                             self.resolution),
+                merge_clouds(self.world_surf, take, self.map_cap,
+                             self.resolution))
 
     def refine(self, m, kf_idx) -> bool:
         """Scan-to-map refine kf pose in place; returns True if it ran."""

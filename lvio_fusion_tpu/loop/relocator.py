@@ -1,0 +1,164 @@
+"""Loop detection + correction.
+
+Functional equivalent of the reference Relocator (relocator.cpp):
+  * DetectLoop (:87-133): revisit detection by horizontal proximity to
+    keyframes older than 30 s (3 neighbors inside the threshold radius) —
+    numpy brute force replaces the kd-tree (a few thousand kfs is tiny).
+  * Relocate (:135-184 + mapping.cpp:251-300): lidar scan-to-map
+    alignment of each candidate frame against a local map built around its
+    old counterpart; score = fraction of feature points whose
+    point-to-plane residual stays small.
+  * CorrectLoop (:186-245): relocate every frame of the new submap, pick
+    the best, rotation-align and rigidly shift the submap
+    (UpdateNewSubmap), solve the section pose graph between the old
+    section and the submap, and forward-update everything after.
+
+Runs on the deterministic keyframe schedule instead of a 100 ms thread.
+The reference's visual (ORB descriptor) relocation mode is not yet
+implemented — lidar mode only (relocator_mode lidar=2).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvio_fusion_tpu.geometry.se3 import (
+    se3_apply, se3_inv, se3_mul,
+)
+from lvio_fusion_tpu.lidar.mapping import knn3_planes, make_scan_to_map
+
+
+class Relocator:
+    def __init__(self, lidar_mapping, threshold: float = 10.0,
+                 min_elapsed: float = 30.0, score_thresh: float = 0.5,
+                 up_axis: str = "z", resolution: float = 0.2):
+        self.mapping = lidar_mapping
+        self.threshold = threshold
+        self.min_elapsed = min_elapsed
+        self.score_thresh = score_thresh
+        self.resolution = resolution
+        self._refine = make_scan_to_map(iters=4, resolution=resolution,
+                                        up_axis=up_axis)
+        # pending loop state (DetectorLoop statics)
+        self._pending: Dict[int, int] = {}  # new kf -> old kf
+
+    # ---------------- detection ----------------
+
+    def detect(self, m, kf_idx: int) -> Optional[int]:
+        """Return the closest old keyframe index if this kf closes a loop."""
+        t = m.kf_time[kf_idx]
+        old_n = np.searchsorted(np.asarray(m.kf_time),
+                                t - self.min_elapsed)
+        if old_n < 3:
+            return None
+        old_xy = np.stack(m.kf_pose[:old_n])[:, 4:6]
+        d = np.linalg.norm(old_xy - m.kf_pose[kf_idx][4:6], axis=-1)
+        idx = np.argsort(d)[:3]
+        if np.all(d[idx] < self.threshold):
+            return int(idx[0])
+        return None
+
+    # ---------------- relocation (lidar) ----------------
+
+    def relocate(self, m, kf_idx: int, old_idx: int):
+        """Scan-to-map align kf against the old frame's neighborhood.
+        Returns (pose, score) or None."""
+        f = m.kf_lidar[kf_idx]
+        if f is None:
+            return None
+        wm = self.mapping
+        # local map: old frame +- 2 neighbors' world clouds
+        ids = [i for i in sorted(wm.world_ground)
+               if abs(i - old_idx) <= 2]
+        if not ids:
+            return None
+
+        from lvio_fusion_tpu.lidar.mapping import merge_clouds
+        map_g, mgv = merge_clouds(wm.world_ground, ids, wm.map_cap,
+                                  self.resolution)
+        map_s, msv = merge_clouds(wm.world_surf, ids, wm.map_cap,
+                                  self.resolution)
+        g = jnp.asarray(f["ground"])
+        gv = jnp.asarray(f["ground_valid"])
+        s = jnp.asarray(f["surf"])
+        sv = jnp.asarray(f["surf_valid"])
+
+        pose = jnp.asarray(m.kf_pose[kf_idx])
+        # coarse-to-fine alternating rounds (mapping.cpp Relocate: 4 rounds;
+        # the first rounds need a loose gate to capture the loop drift)
+        for scale in (max(self.threshold, 4.0) ** 2, 4.0, 1.0):
+            pose = self._refine(pose, g, gv, s, sv, map_g, mgv, map_s, msv,
+                                jnp.float32(1.0), jnp.float32(1.0),
+                                jnp.float32(0.0), jnp.float32(scale))
+        score = float(self._score(pose, s, sv, map_s, msv))
+        return np.asarray(pose), score
+
+    def _score(self, pose, pts, valid, map_pts, map_valid):
+        pw = jax.vmap(lambda p: se3_apply(pose, p))(pts)
+        plane_pt, normal, ok = knn3_planes(
+            pw, valid, map_pts, map_valid, (self.resolution ** 2) * 25.0)
+        r = jnp.abs(jnp.sum((pw - plane_pt) * normal, -1))
+        good = ok & (r < 2 * self.resolution)
+        denom = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.sum(good) / denom
+
+    # ---------------- correction ----------------
+
+    def process_keyframe(self, m, pose_graph, kf_idx: int) -> bool:
+        """Detection state machine per new keyframe; corrects when a loop
+        run ends (DetectorLoop, relocator.cpp:23-85). Returns True if a
+        correction was applied."""
+        old = self.detect(m, kf_idx)
+        if old is not None:
+            self._pending[kf_idx] = old
+            return False
+        if self._pending:
+            new_kfs = sorted(self._pending)
+            old_idx = min(self._pending.values())
+            corrected = self.correct_loop(
+                m, pose_graph, old_idx, new_kfs[0], new_kfs[-1])
+            self._pending.clear()
+            return corrected
+        return False
+
+    def correct_loop(self, m, pose_graph, old_idx: int, start_idx: int,
+                     end_idx: int) -> bool:
+        # snapshot for pose-graph measurements (pre-correction)
+        snapshot = {i: m.kf_pose[i].copy() for i in range(m.num_kfs)}
+
+        best, best_score, best_kf = None, -1.0, None
+        for i in range(start_idx, end_idx + 1):
+            out = self.relocate(m, i, self._pending.get(i, old_idx))
+            if out is None:
+                continue
+            pose, score = out
+            if score > best_score:
+                best, best_score, best_kf = pose, score, i
+        if best is None or best_score < self.score_thresh:
+            return False
+
+        # rigid-shift the submap by the best frame's correction
+        transform = np.asarray(se3_mul(
+            jnp.asarray(best), se3_inv(jnp.asarray(m.kf_pose[best_kf]))))
+        pose_graph._apply_rigid(m, transform, start_idx, end_idx + 1)
+
+        # pose-graph solve over sections strictly between old and submap
+        sections = pose_graph.get_sections(m, old_idx + 1,
+                                           max(start_idx - 1, old_idx + 1))
+        pose_graph.optimize(m, sections, fixed_old_kf=old_idx,
+                            fixed_start_kf=start_idx, meas_poses=snapshot)
+
+        # forward-update everything after the submap
+        # (already covered: _apply_rigid above shifted [start, end]; kfs
+        # after end follow the same rigid transform)
+        pose_graph._apply_rigid(m, transform, end_idx + 1, m.num_kfs)
+
+        # re-render world clouds at corrected poses
+        for i in range(m.num_kfs):
+            if m.kf_lidar[i] is not None and i in self.mapping.world_ground:
+                self.mapping.to_world(m, i)
+        return True
