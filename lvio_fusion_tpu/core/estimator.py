@@ -64,6 +64,15 @@ class EstimatorConfig:
     lidar_iters: int = 4
     lidar_up_axis: str = "z"  # world vertical axis for the DoF split
     # ('z' once gravity-aligned; 'y' in a raw camera-world)
+    # navsat (reference navsat.cpp)
+    use_navsat: bool = False
+    navsat_accuracy: float = 1.0
+    # loop closure (reference relocator.cpp; lidar mode only so far)
+    use_loop: bool = False
+    loop_threshold: float = 10.0
+    loop_min_elapsed: float = 30.0
+    global_every_kfs: int = 5  # cadence of the global stage (the
+    # reference's 2s GlobalLoop timer, expressed in keyframes)
     # IMU noise densities (reference kitti.yaml imu parameters)
     acc_n: float = 0.1
     gyr_n: float = 0.01
@@ -156,7 +165,54 @@ class Estimator:
 
             self._lidar_to_robot = _to_robot
 
+        # global stage: pose graph + navsat + loop closure
+        from lvio_fusion_tpu.loop.pose_graph import PoseGraph
+        self.pose_graph = PoseGraph()
+        self.navsat = None
+        if c.use_navsat:
+            from lvio_fusion_tpu.navsat.navsat import Navsat
+            self.navsat = Navsat(accuracy=c.navsat_accuracy)
+        self.relocator = None
+        if c.use_loop and c.use_lidar:
+            from lvio_fusion_tpu.loop.relocator import Relocator
+            self.relocator = Relocator(
+                self.lidar_mapping, threshold=c.loop_threshold,
+                min_elapsed=c.loop_min_elapsed, up_axis=c.lidar_up_axis,
+                resolution=c.resolution)
+        self._navsat_sections_done = 0
+
     # ------------------------------------------------------------------
+
+    def input_navsat(self, time: float, p_enu):
+        """Buffer one GNSS fix already converted to local ENU
+        (Estimator::InputNavSat; the lat/lon/alt -> ENU conversion lives in
+        the dataset layer, reference lvio_fusion_node.cpp:196-213)."""
+        if self.navsat is None:
+            return
+        self.navsat.add_point(time, p_enu)
+
+    def _run_global_stage(self):
+        """Deterministic replacement for the reference's GlobalLoop thread
+        (backend.cpp:42-94) + Relocator thread: pose-graph sectioning,
+        navsat section optimization + QuickFix, loop detection/correction."""
+        m = self.map
+        self.pose_graph.update_sections(m)
+
+        if self.navsat is not None:
+            self.navsat.attach_keyframes(m)
+            if not self.navsat.initialized:
+                self.navsat.initialize(m)
+            if self.navsat.initialized:
+                sections = sorted(self.pose_graph.sections)
+                for a in sections[self._navsat_sections_done:]:
+                    self.navsat.optimize_section(
+                        m, self.pose_graph, self.pose_graph.sections[a])
+                self._navsat_sections_done = len(sections)
+                self.navsat.quick_fix(m, self.pose_graph, m.num_kfs - 1)
+
+        if self.relocator is not None:
+            self.relocator.process_keyframe(m, self.pose_graph,
+                                            m.num_kfs - 1)
 
     def input_pointcloud(self, time: float, points):
         """Buffer one lidar scan (sensor-frame points)
@@ -200,11 +256,14 @@ class Estimator:
         self._lidar_done = max(self._lidar_done, ws)
 
     def finalize(self):
-        """Flush pending refinements (end of sequence)."""
+        """Flush pending refinements (end of sequence; the reference's
+        'e'-key final navsat optimization, lvio_fusion_node.cpp:387-393)."""
         if self.cfg.use_lidar:
             for j in range(self._lidar_done, self.map.num_kfs):
                 self.lidar_mapping.refine(self.map, j)
             self._lidar_done = self.map.num_kfs
+        if self.cfg.use_navsat or self.cfg.use_loop:
+            self._run_global_stage()
 
     def input_imu(self, time: float, acc, gyr):
         """Buffer one IMU sample (Estimator::InputImu)."""
@@ -380,6 +439,9 @@ class Estimator:
                                            imu_ready=self.imu_initialized)
         if self.cfg.use_lidar:
             self._run_lidar_mapping()
+        if ((self.cfg.use_navsat or self.cfg.use_loop)
+                and kf_idx % self.cfg.global_every_kfs == 0):
+            self._run_global_stage()
         if correction is not None:
             if self.cfg.use_imu and self.imu_initialized:
                 self.cur_vel = self.map.kf_vel[kf_idx].copy()
