@@ -1,0 +1,233 @@
+"""Native JAX TD3 (flax/optax) — replaces the reference's PyTorch/tianshou
+sidecar (rl_fusion/td3.py) and its ROS-service RPC with in-process jitted
+calls.
+
+Hyperparameters mirror td3.py:26-53: actor/critic lr 3e-4/1e-3, gamma
+0.99, tau 0.005, exploration noise 0.1, policy noise 0.2 clipped at 0.5,
+actor update every 2 critic updates. The replay buffer lives in device
+arrays; the whole update step is one jitted program, and batched env
+rollouts shard across the device mesh (DP) instead of DummyVectorEnv
+processes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from lvio_fusion_tpu.adapt.observation import OBS_DIM
+
+ACT_DIM = 3  # visual, lidar_ground, lidar_surf (adapt/weights.h)
+
+
+class Actor(nn.Module):
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, obs):
+        x = nn.relu(nn.Dense(self.hidden)(obs))
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        return nn.tanh(nn.Dense(ACT_DIM)(x))
+
+
+class Critic(nn.Module):
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, obs, act):
+        x = jnp.concatenate([obs, act], axis=-1)
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        return nn.Dense(1)(x)[..., 0]
+
+
+class TD3State(NamedTuple):
+    actor: dict
+    actor_target: dict
+    critic1: dict
+    critic2: dict
+    critic1_target: dict
+    critic2_target: dict
+    opt_actor: optax.OptState
+    opt_critic: optax.OptState
+    step: jnp.ndarray
+
+
+class Replay(NamedTuple):
+    obs: jnp.ndarray
+    act: jnp.ndarray
+    rew: jnp.ndarray
+    nobs: jnp.ndarray
+    done: jnp.ndarray
+    ptr: jnp.ndarray
+    size: jnp.ndarray
+
+
+def make_replay(capacity: int):
+    return Replay(
+        obs=jnp.zeros((capacity, OBS_DIM)),
+        act=jnp.zeros((capacity, ACT_DIM)),
+        rew=jnp.zeros((capacity,)),
+        nobs=jnp.zeros((capacity, OBS_DIM)),
+        done=jnp.zeros((capacity,), bool),
+        ptr=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def replay_add(r: Replay, obs, act, rew, nobs, done):
+    """Add a batch of B transitions (wraps around)."""
+    B = obs.shape[0]
+    cap = r.obs.shape[0]
+    idx = (r.ptr + jnp.arange(B)) % cap
+    return r._replace(
+        obs=r.obs.at[idx].set(obs), act=r.act.at[idx].set(act),
+        rew=r.rew.at[idx].set(rew), nobs=r.nobs.at[idx].set(nobs),
+        done=r.done.at[idx].set(done),
+        ptr=(r.ptr + B) % cap,
+        size=jnp.minimum(r.size + B, cap))
+
+
+class TD3:
+    def __init__(self, seed=0, actor_lr=3e-4, critic_lr=1e-3, gamma=0.99,
+                 tau=0.005, policy_noise=0.2, noise_clip=0.5,
+                 explore_noise=0.1, policy_delay=2):
+        self.gamma, self.tau = gamma, tau
+        self.policy_noise, self.noise_clip = policy_noise, noise_clip
+        self.explore_noise = explore_noise
+        self.policy_delay = policy_delay
+        self.actor_def = Actor()
+        self.critic_def = Critic()
+        self.opt_a = optax.adam(actor_lr)
+        self.opt_c = optax.adam(critic_lr)
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        obs0 = jnp.zeros((1, OBS_DIM))
+        act0 = jnp.zeros((1, ACT_DIM))
+        pa = self.actor_def.init(k1, obs0)
+        pc1 = self.critic_def.init(k2, obs0, act0)
+        pc2 = self.critic_def.init(k3, obs0, act0)
+        self.state = TD3State(
+            actor=pa, actor_target=pa, critic1=pc1, critic2=pc2,
+            critic1_target=pc1, critic2_target=pc2,
+            opt_actor=self.opt_a.init(pa),
+            opt_critic=self.opt_c.init((pc1, pc2)),
+            step=jnp.zeros((), jnp.int32))
+
+        self.act = jax.jit(lambda p, o: self.actor_def.apply(p, o))
+        self._update = jax.jit(self._update_impl)
+
+    def explore(self, key, obs):
+        a = self.act(self.state.actor, obs)
+        noise = self.explore_noise * jax.random.normal(key, a.shape)
+        return jnp.clip(a + noise, -1.0, 1.0)
+
+    def _update_impl(self, state: TD3State, batch, key):
+        obs, act, rew, nobs, done = batch
+
+        # --- critic update ---
+        noise = jnp.clip(
+            self.policy_noise * jax.random.normal(key, act.shape),
+            -self.noise_clip, self.noise_clip)
+        next_a = jnp.clip(
+            self.actor_def.apply(state.actor_target, nobs) + noise,
+            -1.0, 1.0)
+        q1t = self.critic_def.apply(state.critic1_target, nobs, next_a)
+        q2t = self.critic_def.apply(state.critic2_target, nobs, next_a)
+        target = rew + self.gamma * (1.0 - done.astype(jnp.float32)) \
+            * jnp.minimum(q1t, q2t)
+        target = jax.lax.stop_gradient(target)
+
+        def critic_loss(params):
+            p1, p2 = params
+            q1 = self.critic_def.apply(p1, obs, act)
+            q2 = self.critic_def.apply(p2, obs, act)
+            return jnp.mean((q1 - target) ** 2) + jnp.mean((q2 - target) ** 2)
+
+        closs, grads = jax.value_and_grad(critic_loss)(
+            (state.critic1, state.critic2))
+        updates, opt_c = self.opt_c.update(grads, state.opt_critic,
+                                           (state.critic1, state.critic2))
+        critic1, critic2 = optax.apply_updates(
+            (state.critic1, state.critic2), updates)
+
+        # --- delayed actor update ---
+        def actor_loss(pa):
+            a = self.actor_def.apply(pa, obs)
+            return -jnp.mean(self.critic_def.apply(critic1, obs, a))
+
+        do_actor = (state.step % self.policy_delay) == 0
+        aloss, agrads = jax.value_and_grad(actor_loss)(state.actor)
+        agrads = jax.tree.map(
+            lambda g: jnp.where(do_actor, g, jnp.zeros_like(g)), agrads)
+        aupd, opt_a = self.opt_a.update(agrads, state.opt_actor, state.actor)
+        actor = optax.apply_updates(state.actor, aupd)
+
+        # --- soft target updates ---
+        def soft(t, s):
+            return jax.tree.map(
+                lambda a, b: (1 - self.tau) * a + self.tau * b, t, s)
+
+        new = TD3State(
+            actor=actor,
+            actor_target=soft(state.actor_target, actor),
+            critic1=critic1, critic2=critic2,
+            critic1_target=soft(state.critic1_target, critic1),
+            critic2_target=soft(state.critic2_target, critic2),
+            opt_actor=opt_a, opt_critic=opt_c, step=state.step + 1)
+        return new, closs, aloss
+
+    def update(self, replay: Replay, key, batch_size=64):
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (batch_size,), 0,
+                                 jnp.maximum(replay.size, 1))
+        batch = (replay.obs[idx], replay.act[idx], replay.rew[idx],
+                 replay.nobs[idx], replay.done[idx])
+        self.state, closs, aloss = self._update(self.state, batch, k2)
+        return float(closs), float(aloss)
+
+
+def train_td3(env, agent: TD3, epochs=20, steps_per_epoch=80,
+              batch_size=64, replay_capacity=20000, warmup=200, seed=0,
+              log=None):
+    """Off-policy training loop (td3.py:56-124 hyperscale defaults)."""
+    key = jax.random.PRNGKey(seed + 1)
+    replay = make_replay(replay_capacity)
+    key, kr = jax.random.split(key)
+    state, obs = env.reset(kr)
+    obs = obs.reshape(obs.shape[0], -1)
+    rewards_hist = []
+
+    total = 0
+    for epoch in range(epochs):
+        ep_rew = []
+        for _ in range(steps_per_epoch):
+            key, ka, ku, kr2 = jax.random.split(key, 4)
+            if total < warmup:
+                act = jax.random.uniform(ka, (env.B, ACT_DIM),
+                                         minval=-1.0, maxval=1.0)
+            else:
+                act = agent.explore(ka, obs)
+            state, nobs, rew, done = env.step(state, act)
+            nobs = nobs.reshape(nobs.shape[0], -1)
+            replay = replay_add(replay, obs, act, rew, nobs, done)
+            ep_rew.append(float(rew.mean()))
+            obs = nobs
+            total += env.B
+            if bool(done.any()):
+                key, kr3 = jax.random.split(key)
+                state, obs = env.reset(kr3)
+                obs = obs.reshape(obs.shape[0], -1)
+            if total >= warmup:
+                agent.update(replay, ku, batch_size)
+        rewards_hist.append(float(jnp.mean(jnp.asarray(ep_rew))))
+        if log:
+            log(f"epoch {epoch}: mean reward {rewards_hist[-1]:.3f}")
+    return agent, rewards_hist

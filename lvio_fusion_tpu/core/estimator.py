@@ -180,6 +180,35 @@ class Estimator:
                 min_elapsed=c.loop_min_elapsed, up_axis=c.lidar_up_axis,
                 resolution=c.resolution)
         self._navsat_sections_done = 0
+        # adaptive factor weighting (reference Agent::SetCore; weights are
+        # produced by the TD3 actor at keyframe creation)
+        self.agent = None
+
+    def set_agent(self, agent):
+        self.agent = agent
+
+    def _kf_observation(self, kf_idx):
+        """(4,12,3) observation grid for a new keyframe
+        (Frame::GetObservation)."""
+        from lvio_fusion_tpu.adapt.observation import observation_grid
+        m = self.map
+        if kf_idx == 0:
+            return np.zeros((4, 12, 3), np.float32)
+        prev_ids = {int(i): j for j, i in enumerate(m.obs_lm[kf_idx - 1])}
+        ids = m.obs_lm[kf_idx]
+        px = m.obs_px[kf_idx]
+        n = len(ids)
+        prev = np.zeros((max(n, 1), 2), np.float32)
+        seen = np.zeros(max(n, 1), bool)
+        for j, i in enumerate(ids):
+            jj = prev_ids.get(int(i))
+            if jj is not None:
+                prev[j] = m.obs_px[kf_idx - 1][jj]
+                seen[j] = True
+        pxp = px if n else np.zeros((1, 2), np.float32)
+        return np.asarray(observation_grid(
+            jnp.asarray(pxp), jnp.asarray(prev), jnp.asarray(seen),
+            self.cfg.height, self.cfg.width))
 
     # ------------------------------------------------------------------
 
@@ -426,6 +455,10 @@ class Estimator:
                                 jnp.asarray(pose, dtype=jnp.float32))
         self._insert_new_landmarks(kf_idx, kf, np.asarray(kf.valid))
         self.last_kf_time = time
+
+        if self.agent is not None:
+            obs = self._kf_observation(kf_idx)
+            self.map.kf_weights[kf_idx] = self.agent.update_weights(obs)
 
         if self.cfg.use_imu:
             self._attach_kf_preintegration(kf_idx)

@@ -45,8 +45,8 @@ def dof_masks(up_axis: str = "z"):
     rho_g = [0.0, 0.0, 0.0]
     rho_g[i] = 1.0  # ground: vertical translation only
     ground = tuple(phi_g + rho_g)
-    surf = tuple(1.0 - jnp.asarray(ground))
-    return ground, tuple(float(v) for v in surf)
+    surf = tuple(1.0 - v for v in ground)  # pure python: jit-safe
+    return ground, surf
 
 
 RPZ_MASK, YXY_MASK = dof_masks("z")  # roll,pitch,z / yaw,x,y
