@@ -208,10 +208,8 @@ class Backend:
         self._update_world_cache(m, opt_ids)
         self._reject_outliers(m, kf_idx)
 
-        correction = np.asarray(
-            se3_mul(jnp.asarray(new_poses[-1]),
-                    se3_inv(jnp.asarray(old_newest))))
-        return correction
+        from lvio_fusion_tpu.utils import np_se3
+        return np_se3.se3_mul(new_poses[-1], np_se3.se3_inv(old_newest))
 
     def _build_imu_tables(self, m: HostMap, kf_idx):
         """Stack stored preintegrations between consecutive window kfs

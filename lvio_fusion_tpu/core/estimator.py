@@ -93,11 +93,16 @@ class Estimator:
         self.cam_left = cam_left
         self.cam_right = cam_right
         c = config
-        (self.preprocess, self.track_frame, self.make_keyframe,
-         self.landmark_world) = make_frontend(
+        fns = make_frontend(
             cam_left, cam_right, c.height, c.width, c.num_features,
             levels=c.levels, win=c.lk_window, cell=c.cell,
             occupy_radius=c.occupy_radius)
+        self.preprocess = fns.preprocess
+        self.track_frame = fns.track_frame
+        self.make_keyframe = fns.make_keyframe
+        self.landmark_world = fns.landmark_world
+        self.frame_step = fns.frame_step
+        self.keyframe_step = fns.keyframe_step
         self.backend = Backend(
             cam_left, cam_right,
             caps=WindowCaps(K=c.window_kfs, L=c.landmark_slots,
@@ -328,11 +333,19 @@ class Estimator:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _to_u8(img):
+        img = np.asarray(img)
+        if img.dtype == np.uint8:
+            return img
+        return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+
     def input_image(self, time: float, img_left, img_right,
                     init_pose=None) -> np.ndarray:
-        """Process one stereo pair; returns the current pose estimate."""
-        pyr_left = self.preprocess(jnp.asarray(img_left))
-        pyr_right = None
+        """Process one stereo pair (uint8 or [0,1] float grayscale);
+        returns the current pose estimate."""
+        img_left = self._to_u8(img_left)
+        img_right_u8 = None  # converted lazily (only needed at keyframes)
 
         if self.status == self.BUILDING:
             if self.cfg.use_imu:
@@ -345,8 +358,9 @@ class Estimator:
                 self._reset_kf_imu_buffer()
             pose = (np.asarray(se3_identity()) if init_pose is None
                     else np.asarray(init_pose, np.float32))
-            pyr_right = self.preprocess(jnp.asarray(img_right))
-            ok = self._init_map(time, pyr_left, pyr_right, pose)
+            pyr_left = self.preprocess(jnp.asarray(img_left))
+            ok = self._init_map(time, pyr_left, self._to_u8(img_right),
+                                pose)
             if ok:
                 self.status = self.TRACKING
             self.last_pyr = pyr_left
@@ -355,8 +369,8 @@ class Estimator:
             return self.last_pose
 
         # ---- per-frame tracking ----
-        pose_pred = np.asarray(se3_mul(jnp.asarray(self.last_pose),
-                                       jnp.asarray(self.relative)))
+        from lvio_fusion_tpu.utils import np_se3
+        pose_pred = np_se3.se3_mul(self.last_pose, self.relative)
         if self.cfg.use_imu:
             ts, accs, gyrs = self._consume_imu(self.last_time, time)
             self._kf_t += ts
@@ -381,11 +395,14 @@ class Estimator:
         if sel.any():
             lm_world[sel] = np.stack(
                 [self.map.lm_world[i] for i in self.feat_lm[sel]])
-        res = self.track_frame(self.last_pyr, pyr_left,
-                               jnp.asarray(self.feat_px),
-                               jnp.asarray(self.feat_valid),
-                               jnp.asarray(lm_world),
-                               jnp.asarray(pose_pred))
+        # fused per-frame step: ONE device dispatch
+        pyr_cur, res = self.frame_step(jnp.asarray(img_left),
+                                       self.last_pyr,
+                                       jnp.asarray(self.feat_px),
+                                       jnp.asarray(self.feat_valid),
+                                       jnp.asarray(lm_world),
+                                       jnp.asarray(pose_pred))
+        pyr_left = pyr_cur
         n_inliers = int(res.num_inliers)
         pose = np.asarray(res.pose)
         self.feat_px = np.array(res.pts)      # copy: jax buffers are read-only
@@ -396,25 +413,22 @@ class Estimator:
             # (frontend.cpp:129-137)
             self.status = self.LOST
             pose = pose_pred
-            pyr_right = self.preprocess(jnp.asarray(img_right))
             self.feat_valid[:] = False
-            if self._init_map(time, pyr_left, pyr_right, pose):
+            if self._init_map(time, pyr_left, self._to_u8(img_right), pose):
                 self.status = self.TRACKING
         else:
-            dt = time - self.last_time
             need_kf = (n_inliers < self.cfg.num_features_needed_for_keyframe
                        or time - self.last_kf_time
                        >= self.cfg.max_keyframe_interval)
             if need_kf:
-                pyr_right = self.preprocess(jnp.asarray(img_right))
-                pose = self._create_keyframe(time, pyr_left, pyr_right, pose)
+                pose = self._create_keyframe(time, pyr_left,
+                                             self._to_u8(img_right), pose)
 
         # update constant-velocity model with the (refined) relative motion,
         # normalized per unit time like relative_i_j in the reference
         if self.last_time is not None and time > self.last_time:
-            rel = np.asarray(se3_mul(se3_inv(jnp.asarray(self.last_pose)),
-                                     jnp.asarray(pose)))
-            self.relative = rel
+            self.relative = np_se3.se3_mul(np_se3.se3_inv(self.last_pose),
+                                           pose)
         self.last_pose = pose
         self.last_pyr = pyr_left
         self.last_time = time
@@ -422,10 +436,10 @@ class Estimator:
 
     # ------------------------------------------------------------------
 
-    def _init_map(self, time, pyr_left, pyr_right, pose) -> bool:
+    def _init_map(self, time, pyr_left, img_right_u8, pose) -> bool:
         """BUILDING/LOST -> detect + triangulate a fresh landmark set
         (frontend.cpp InitMap)."""
-        kf = self.make_keyframe(pyr_left, pyr_right,
+        kf = self.keyframe_step(jnp.asarray(img_right_u8), pyr_left,
                                 jnp.asarray(self.feat_px),
                                 jnp.asarray(self.feat_valid),
                                 jnp.asarray(pose, dtype=jnp.float32))
@@ -439,7 +453,8 @@ class Estimator:
         self.last_kf_time = time
         return True
 
-    def _create_keyframe(self, time, pyr_left, pyr_right, pose) -> np.ndarray:
+    def _create_keyframe(self, time, pyr_left, img_right_u8,
+                         pose) -> np.ndarray:
         """Persist tracked observations, detect new landmarks, run BA."""
         kf_idx = self.map.add_keyframe(
             time, pose, vel=self.cur_vel, bias=self.cur_bias,
@@ -449,7 +464,7 @@ class Estimator:
         if sel.any():
             self.map.add_observations(kf_idx, self.feat_lm[sel],
                                       self.feat_px[sel])
-        kf = self.make_keyframe(pyr_left, pyr_right,
+        kf = self.keyframe_step(jnp.asarray(img_right_u8), pyr_left,
                                 jnp.asarray(self.feat_px),
                                 jnp.asarray(self.feat_valid),
                                 jnp.asarray(pose, dtype=jnp.float32))

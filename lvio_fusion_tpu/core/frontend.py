@@ -46,6 +46,15 @@ class KeyframeResult(NamedTuple):
     valid: jnp.ndarray         # (M,) bool
 
 
+class FrontendFns(NamedTuple):
+    preprocess: object
+    track_frame: object
+    make_keyframe: object
+    landmark_world: object
+    frame_step: object     # fused: pyramid + track + refine (1 dispatch)
+    keyframe_step: object  # fused: right pyramid + detect + triangulate
+
+
 def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
                      huber_px: float = 3.0, reject_px: float = 8.0):
     """Small dense GN on the 6-dof pose from fixed world landmarks."""
@@ -86,21 +95,29 @@ def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
 
 
 def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
-                  levels: int = 4, win: int = 21, max_depth: float = 150.0,
+                  levels: int = 4, win: int = 15, max_depth: float = 150.0,
                   min_depth: float = 0.5, cell: int = 30,
-                  occupy_radius: int = 15):
-    """Build the jitted frontend stage functions for a fixed image size."""
+                  occupy_radius: int = 15, lk_iters: int = 6):
+    """Build the jitted frontend stage functions for a fixed image size.
+
+    The per-frame path (pyramid build + LK + pose refine) is ONE jitted
+    program (``frame_step``) taking the raw uint8 image — a single device
+    dispatch and a 1-byte-per-pixel upload per frame (the TPU can sit
+    behind a high-latency link; dispatch count dominates wall time).
+    """
 
     pad_mult = 2 ** (levels - 1)
 
-    @jax.jit
-    def preprocess(img):
-        img = pad_to_multiple(img.astype(jnp.float32), pad_mult)
+    def _pyramid(img):
+        img = pad_to_multiple(img.astype(jnp.float32) * (1.0 / 255.0),
+                              pad_mult)
         return build_pyramid(img, levels)
 
     @jax.jit
-    def track_frame(pyr_last, pyr_cur, feat_px, feat_valid, lm_world,
-                    pose_pred):
+    def preprocess(img_u8):
+        return _pyramid(img_u8)
+
+    def _track(pyr_last, pyr_cur, feat_px, feat_valid, lm_world, pose_pred):
         # seed each feature at the projection of its cached world position
         # under the extrapolated pose (frontend.cpp:166-171)
         seed = jax.vmap(lambda p: cam_left.world2pixel(p, pose_pred))(lm_world)
@@ -109,12 +126,27 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         far = jnp.linalg.norm(seed - feat_px, axis=-1) > 100.0
         seed = jnp.where(far[:, None], feat_px, seed)
         pts, ok = track_bidirectional(pyr_last, pyr_cur, feat_px, seed,
-                                      win=win)
+                                      win=win, iters=lk_iters)
         ok = ok & feat_valid
         pose, inliers = pose_only_refine(pose_pred, lm_world, pts, ok,
                                          cam_left)
         return TrackResult(pts, inliers, pose,
                            jnp.sum(inliers.astype(jnp.int32)))
+
+    @jax.jit
+    def track_frame(pyr_last, pyr_cur, feat_px, feat_valid, lm_world,
+                    pose_pred):
+        return _track(pyr_last, pyr_cur, feat_px, feat_valid, lm_world,
+                      pose_pred)
+
+    @jax.jit
+    def frame_step(img_u8, pyr_last, feat_px, feat_valid, lm_world,
+                   pose_pred):
+        """Fused per-frame step: pyramid + LK + pose refine, one dispatch.
+        Returns (new_pyramid, TrackResult)."""
+        pyr_cur = _pyramid(img_u8)
+        return pyr_cur, _track(pyr_last, pyr_cur, feat_px, feat_valid,
+                               lm_world, pose_pred)
 
     @jax.jit
     def make_keyframe(pyr_left, pyr_right, cur_px, cur_valid, kf_pose):
@@ -149,6 +181,14 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         return KeyframeResult(new_px, right_px, inv_depth, world, valid)
 
     @jax.jit
+    def keyframe_step(img_right_u8, pyr_left, cur_px, cur_valid, kf_pose):
+        """Fused keyframe stage: right pyramid + detect + stereo +
+        triangulate, one dispatch."""
+        pyr_right = _pyramid(img_right_u8)
+        return make_keyframe(pyr_left, pyr_right, cur_px, cur_valid,
+                             kf_pose)
+
+    @jax.jit
     def landmark_world(anchor_poses, first_obs, inv_depths):
         """Recompute world positions: right-camera ray at the anchor
         (landmark.cpp:15-19 ToWorld)."""
@@ -156,4 +196,5 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             first_obs, inv_depths)
         return jax.vmap(se3_apply)(anchor_poses, pb)
 
-    return preprocess, track_frame, make_keyframe, landmark_world
+    return FrontendFns(preprocess, track_frame, make_keyframe,
+                       landmark_world, frame_step, keyframe_step)

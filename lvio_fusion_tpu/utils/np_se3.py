@@ -1,0 +1,56 @@
+"""Pure-numpy SE3/quaternion helpers for host-side bookkeeping.
+
+The estimator's per-frame host logic needs a handful of single-pose
+compositions; routing those through jax costs a device dispatch each
+(painful when the TPU sits behind a network tunnel). These mirror
+geometry/so3.py / se3.py exactly, for scalars only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def quat_mul(q1, q2):
+    w1, x1, y1, z1 = q1
+    w2, x2, y2, z2 = q2
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], dtype=np.float64)
+
+
+def quat_conj(q):
+    return np.array([q[0], -q[1], -q[2], -q[3]], dtype=np.float64)
+
+
+def quat_rotate(q, v):
+    qv = np.asarray(q[1:], np.float64)
+    w = q[0]
+    uv = np.cross(qv, v)
+    return np.asarray(v, np.float64) + 2.0 * (w * uv + np.cross(qv, uv))
+
+
+def _norm(q):
+    q = q / max(np.linalg.norm(q), 1e-12)
+    return q if q[0] >= 0 else -q
+
+
+def se3_mul(T1, T2):
+    q1, t1 = np.asarray(T1[:4], np.float64), np.asarray(T1[4:], np.float64)
+    q2, t2 = np.asarray(T2[:4], np.float64), np.asarray(T2[4:], np.float64)
+    q = _norm(quat_mul(q1, q2))
+    return np.concatenate([q, quat_rotate(q1, t2) + t1]).astype(np.float32)
+
+
+def se3_inv(T):
+    q, t = np.asarray(T[:4], np.float64), np.asarray(T[4:], np.float64)
+    qi = quat_conj(q)
+    return np.concatenate([qi, -quat_rotate(qi, t)]).astype(np.float32)
+
+
+def se3_apply(T, p):
+    return (quat_rotate(T[:4], p) + np.asarray(T[4:], np.float64)
+            ).astype(np.float32)
