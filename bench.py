@@ -19,8 +19,10 @@ def main():
     from lvio_fusion_tpu.datasets.synthetic import make_sequence
 
     H, W = int(os.environ.get("BENCH_H", 376)), int(os.environ.get("BENCH_W", 1241))
-    n_frames = int(os.environ.get("BENCH_FRAMES", 30))
-    seq = make_sequence(num_frames=n_frames, H=H, W=W, num_points=600,
+    n_frames = int(os.environ.get("BENCH_FRAMES", 42))
+    # dense blob field: KITTI-like feature richness (several hundred
+    # trackable points per frame) so keyframe cadence is representative
+    seq = make_sequence(num_frames=n_frames, H=H, W=W, num_points=3000,
                         fps=10.0, speed=1.4, seed=0)
     cfg = EstimatorConfig(
         height=H, width=W, num_features=400, num_features_init=50,
@@ -28,19 +30,20 @@ def main():
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
         ba_iters=5)
 
-    # warmup: full pipeline once (compile all stages)
+    # warmup on the SAME estimator (each Estimator instance creates fresh
+    # jit closures, so a second instance would recompile everything)
+    warm = 12
     est = Estimator(seq.cam_left, seq.cam_right, cfg)
-    for fr in seq.frames[:12]:
+    for fr in seq.frames[:warm]:
         est.input_image(fr.time, fr.left, fr.right)
 
     # timed steady-state run
-    est = Estimator(seq.cam_left, seq.cam_right, cfg)
     t0 = time.perf_counter()
-    for fr in seq.frames:
+    for fr in seq.frames[warm:]:
         est.input_image(fr.time, fr.left, fr.right)
     dt = time.perf_counter() - t0
 
-    fps = n_frames / dt
+    fps = (n_frames - warm) / dt
     target_fps = 20.0  # 2x real-time at 10 Hz
     print(json.dumps({
         "metric": "kitti_odometry_fps_per_chip",

@@ -1,0 +1,174 @@
+"""Command-line driver: run odometry on a dataset, write the trajectory.
+
+Replaces the reference's ROS node + launch files
+(lvio_fusion_node.cpp main + roslaunch): instead of rosbag playback and
+keyboard commands, a plain CLI that streams a dataset through the
+Estimator and writes the reference-format CSV ('s' key behavior).
+
+Usage:
+  python -m lvio_fusion_tpu.cli run --dataset synthetic --out /tmp/traj.csv
+  python -m lvio_fusion_tpu.cli run --dataset kitti --root /data/kitti \
+      --sequence 00 --lidar --out traj.csv
+  python -m lvio_fusion_tpu.cli train-rl --dataset synthetic --out td3.pkl
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time as _time
+
+import numpy as np
+
+
+def _build_synthetic(args):
+    from lvio_fusion_tpu.core.estimator import Estimator, EstimatorConfig
+    from lvio_fusion_tpu.datasets.synthetic import make_sequence
+
+    seq = make_sequence(num_frames=args.frames, H=240, W=360,
+                        num_points=400, seed=0,
+                        with_imu=args.imu, with_lidar=args.lidar)
+    cfg = EstimatorConfig(
+        height=240, width=360, num_features=200, num_features_init=30,
+        num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
+        window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
+        ba_iters=5, cell=24, occupy_radius=10,
+        use_imu=args.imu, use_lidar=args.lidar,
+        num_scans=16, horizon_scan=360, ang_res_y=2.0, ang_bottom=15.0,
+        ground_rows=8, min_range=1.0, max_range=50.0,
+        max_scan_points=8192, max_ground=512, max_surf=512,
+        lidar_map_cap=2048, lidar_up_axis="y")
+    est = Estimator(seq.cam_left, seq.cam_right, cfg,
+                    lidar_extrinsic=seq.lidar_extrinsic)
+
+    def stream():
+        imu_i = 0
+        for i, fr in enumerate(seq.frames):
+            if args.imu and seq.imu_times is not None:
+                while (imu_i < len(seq.imu_times)
+                       and seq.imu_times[imu_i] <= fr.time):
+                    est.input_imu(seq.imu_times[imu_i],
+                                  seq.imu_acc[imu_i], seq.imu_gyr[imu_i])
+                    imu_i += 1
+            if args.lidar and seq.scans is not None:
+                est.input_pointcloud(seq.scan_times[i], seq.scans[i])
+            yield fr.time, fr.left, fr.right
+    return est, stream(), seq
+
+
+def _build_kitti(args):
+    from lvio_fusion_tpu.core.estimator import Estimator, EstimatorConfig
+    from lvio_fusion_tpu.datasets.kitti import KittiOdometry
+
+    ds = KittiOdometry(args.root, args.sequence, with_lidar=args.lidar)
+    probe = next(ds.frames(0, 1))
+    H, W = probe.left.shape
+    cfg = EstimatorConfig(
+        height=H, width=W, num_features=400,
+        use_lidar=args.lidar and ds.lidar_extrinsic is not None,
+        window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024)
+    est = Estimator(ds.cam_left, ds.cam_right, cfg,
+                    lidar_extrinsic=ds.lidar_extrinsic)
+
+    def stream():
+        for fr in ds.frames(0, args.frames if args.frames > 0 else None):
+            if args.lidar and fr.scan is not None:
+                est.input_pointcloud(fr.time, fr.scan[:, :3])
+            yield fr.time, fr.left, fr.right
+    return est, stream(), ds
+
+
+def cmd_run(args):
+    from lvio_fusion_tpu.utils.trajectory import write_tum_csv
+
+    if args.dataset == "synthetic":
+        est, stream, _ = _build_synthetic(args)
+    else:
+        est, stream, _ = _build_kitti(args)
+
+    n = 0
+    t0 = _time.perf_counter()
+    for t, left, right in stream:
+        est.input_image(t, left, right)
+        n += 1
+        if n % 50 == 0:
+            fps = n / (_time.perf_counter() - t0)
+            print(f"frame {n}: {fps:.2f} fps, kfs={est.map.num_kfs}",
+                  file=sys.stderr)
+    est.finalize()
+    dt = _time.perf_counter() - t0
+
+    times, poses = est.trajectory()
+    write_tum_csv(args.out, times, poses)
+    print(f"{n} frames in {dt:.1f}s ({n / dt:.2f} fps), "
+          f"{len(times)} keyframes -> {args.out}")
+
+
+def cmd_train_rl(args):
+    import jax
+
+    from lvio_fusion_tpu.adapt.agent import save_policy
+    from lvio_fusion_tpu.adapt.environment import VectorEnv, tables_from_map
+    from lvio_fusion_tpu.adapt.td3 import TD3, train_td3
+
+    est, stream, seq = _build_synthetic(args)
+    for t, left, right in stream:
+        est.input_image(t, left, right)
+    est.finalize()
+
+    tables = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
+                             est.cam_right, height=240, width=360,
+                             lidar_mapping=getattr(est, "lidar_mapping",
+                                                   None))
+    env = VectorEnv(tables, est.cam_left, num_envs=args.envs,
+                    horizon=10)
+    agent = TD3(seed=0)
+    agent, hist = train_td3(env, agent, epochs=args.epochs,
+                            steps_per_epoch=args.steps,
+                            log=lambda s: print(s, file=sys.stderr))
+    save_policy(agent, args.out)
+    print(f"trained {args.epochs} epochs, reward history {hist[-3:]}, "
+          f"policy -> {args.out}")
+
+
+def main(argv=None):
+    # honor JAX_PLATFORMS even when a sitecustomize force-registered a
+    # different backend via jax.config.update
+    import os
+
+    import jax
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        jax.config.update("jax_platforms", want)
+
+    p = argparse.ArgumentParser(prog="lvio_fusion_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run odometry, write trajectory CSV")
+    r.add_argument("--dataset", choices=["synthetic", "kitti"],
+                   default="synthetic")
+    r.add_argument("--root", default="", help="kitti dataset root")
+    r.add_argument("--sequence", default="00")
+    r.add_argument("--frames", type=int, default=40)
+    r.add_argument("--imu", action="store_true")
+    r.add_argument("--lidar", action="store_true")
+    r.add_argument("--out", default="trajectory.csv")
+    r.set_defaults(fn=cmd_run)
+
+    t = sub.add_parser("train-rl", help="train the TD3 weight policy")
+    t.add_argument("--dataset", choices=["synthetic"], default="synthetic")
+    t.add_argument("--frames", type=int, default=40)
+    t.add_argument("--imu", action="store_true")
+    t.add_argument("--lidar", action="store_true")
+    t.add_argument("--envs", type=int, default=8)
+    t.add_argument("--epochs", type=int, default=5)
+    t.add_argument("--steps", type=int, default=40)
+    t.add_argument("--out", default="td3.pkl")
+    t.set_defaults(fn=cmd_train_rl)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

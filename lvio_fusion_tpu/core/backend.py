@@ -50,14 +50,32 @@ class Backend:
         self.use_imu = use_imu
         self.solve_vo = make_window_ba(cam_left, cam_right,
                                        num_iters=num_iters)
+        # fixed-shape helpers (varying shapes would force a recompile per
+        # call — seconds each behind a remote-compile tunnel)
+        C = caps.F  # per-window obs capacity for outlier rejection
+        self._oc = C
+
+        @jax.jit
+        def _batch_reproj(pw, poses, px):
+            pred = jax.vmap(lambda p, t: cam_left.world2pixel(p, t))(
+                pw.reshape(-1, 3), poses.reshape(-1, 7))
+            return jnp.linalg.norm(pred - px.reshape(-1, 2), axis=-1)
+
+        self._batch_reproj = _batch_reproj
+
+        @jax.jit
+        def _lm_world(anchor_poses, first_obs, inv_depths):
+            pb = jax.vmap(lambda ob, d: cam_right.pixel2robot(ob, 1.0 / d))(
+                first_obs, inv_depths)
+            from lvio_fusion_tpu.geometry.se3 import se3_apply
+            return jax.vmap(se3_apply)(anchor_poses, pb)
+
+        self._lm_world = _lm_world
         if use_imu:
             from lvio_fusion_tpu.solver.imu_factor import make_imu_linearizer
             self.solve_vio = make_window_ba(
                 cam_left, cam_right, num_iters=num_iters, use_imu=True,
                 imu_linearizer=imu_linearizer or make_imu_linearizer())
-        self._project = jax.jit(lambda pw, T: jax.vmap(
-            lambda p, t: cam_left.world2pixel(p, t))(pw, T))
-
     def _select_window(self, m: HostMap):
         """Last K kfs, clipped to window_seconds like backend.cpp:221."""
         n = m.num_kfs
@@ -249,28 +267,50 @@ class Backend:
             g_norm=jnp.float32(GRAVITY))
 
     def _update_world_cache(self, m: HostMap, lm_ids):
-        if len(lm_ids) == 0:
+        """Recompute world positions for the window landmarks — ONE
+        fixed-capacity jitted call (padded to caps.L)."""
+        n = len(lm_ids)
+        if n == 0:
             return
-        anchors = np.stack([m.kf_pose[m.lm_anchor[i]] for i in lm_ids])
-        fobs = np.stack([m.lm_first_ob[i] for i in lm_ids])
-        depths = np.asarray([m.lm_inv_depth[i] for i in lm_ids], np.float32)
-        pb = jax.vmap(lambda ob, d: self.cam_right.pixel2robot(ob, 1.0 / d))(
-            jnp.asarray(fobs), jnp.asarray(depths))
-        from lvio_fusion_tpu.geometry.se3 import se3_apply
-        pw = np.asarray(jax.vmap(se3_apply)(jnp.asarray(anchors), pb))
-        for k, i in enumerate(lm_ids):
+        L = self.caps.L
+        anchors = np.zeros((L, 7), np.float32)
+        anchors[:, 0] = 1.0
+        fobs = np.zeros((L, 2), np.float32)
+        depths = np.ones((L,), np.float32)
+        for k, i in enumerate(lm_ids[:L]):
+            anchors[k] = m.kf_pose[m.lm_anchor[i]]
+            fobs[k] = m.lm_first_ob[i]
+            depths[k] = m.lm_inv_depth[i]
+        pw = np.asarray(self._lm_world(jnp.asarray(anchors),
+                                       jnp.asarray(fobs),
+                                       jnp.asarray(depths)))
+        for k, i in enumerate(lm_ids[:L]):
             m.lm_world[i] = pw[k]
 
     def _reject_outliers(self, m: HostMap, kf_idx):
         """Drop observations with reprojection error > reject_px
-        (backend.cpp:229-245)."""
+        (backend.cpp:229-245). All window kfs in one fixed-shape call."""
+        C = self._oc
+        pw = np.zeros((C, 3), np.float32)
+        poses = np.zeros((C, 7), np.float32)
+        poses[:, 0] = 1.0
+        px = np.zeros((C, 2), np.float32)
+        spans = []
+        cur = 0
         for g in kf_idx:
-            if len(m.obs_lm[g]) == 0:
-                continue
-            ok = m.obs_ok[g]
             ids = m.obs_lm[g]
-            pw = np.stack([m.lm_world[i] for i in ids])
-            T = np.broadcast_to(m.kf_pose[g], (len(ids), 7))
-            pred = np.asarray(self._project(jnp.asarray(pw), jnp.asarray(T)))
-            err = np.linalg.norm(pred - m.obs_px[g], axis=-1)
-            m.obs_ok[g] = ok & (err < self.reject_px)
+            n = min(len(ids), C - cur)
+            if n <= 0:
+                spans.append((g, cur, 0))
+                continue
+            pw[cur:cur + n] = [m.lm_world[i] for i in ids[:n]]
+            poses[cur:cur + n] = m.kf_pose[g]
+            px[cur:cur + n] = m.obs_px[g][:n]
+            spans.append((g, cur, n))
+            cur += n
+        err = np.asarray(self._batch_reproj(jnp.asarray(pw),
+                                            jnp.asarray(poses),
+                                            jnp.asarray(px)))
+        for g, start, n in spans:
+            if n:
+                m.obs_ok[g][:n] &= err[start:start + n] < self.reject_px

@@ -395,18 +395,19 @@ class Estimator:
         if sel.any():
             lm_world[sel] = np.stack(
                 [self.map.lm_world[i] for i in self.feat_lm[sel]])
-        # fused per-frame step: ONE device dispatch
-        pyr_cur, res = self.frame_step(jnp.asarray(img_left),
-                                       self.last_pyr,
-                                       jnp.asarray(self.feat_px),
-                                       jnp.asarray(self.feat_valid),
-                                       jnp.asarray(lm_world),
-                                       jnp.asarray(pose_pred))
+        # fused per-frame step: ONE device dispatch + ONE transfer back
+        from lvio_fusion_tpu.core.frontend import unpack_track_result
+        pyr_cur, packed = self.frame_step(jnp.asarray(img_left),
+                                          self.last_pyr,
+                                          jnp.asarray(self.feat_px),
+                                          jnp.asarray(self.feat_valid),
+                                          jnp.asarray(lm_world),
+                                          jnp.asarray(pose_pred))
         pyr_left = pyr_cur
-        n_inliers = int(res.num_inliers)
-        pose = np.asarray(res.pose)
-        self.feat_px = np.array(res.pts)      # copy: jax buffers are read-only
-        self.feat_valid = np.array(res.ok)
+        pts, ok, pose, n_inliers = unpack_track_result(
+            packed, self.cfg.num_features)
+        self.feat_px = pts.copy()
+        self.feat_valid = ok.copy()
 
         if n_inliers <= self.cfg.num_features_tracking_bad:
             # tracking lost: re-init map in place, keep extrapolated pose

@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lvio_fusion_tpu.geometry.se3 import (
     se3_apply, se3_boxplus, se3_inv, se3_mul,
@@ -44,6 +45,17 @@ class KeyframeResult(NamedTuple):
     inv_depth: jnp.ndarray     # (M,)
     world: jnp.ndarray         # (M, 3) initial world positions
     valid: jnp.ndarray         # (M,) bool
+
+
+def unpack_track_result(packed, n_features: int):
+    """Host-side unpack of frame_step's packed result (numpy)."""
+    packed = np.asarray(packed)
+    N = n_features
+    pts = packed[:N * 2].reshape(N, 2)
+    ok = packed[N * 2:N * 3] > 0.5
+    pose = packed[N * 3:N * 3 + 7]
+    n_inliers = int(packed[N * 3 + 7])
+    return pts, ok, pose.astype(np.float32), n_inliers
 
 
 class FrontendFns(NamedTuple):
@@ -143,10 +155,19 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     def frame_step(img_u8, pyr_last, feat_px, feat_valid, lm_world,
                    pose_pred):
         """Fused per-frame step: pyramid + LK + pose refine, one dispatch.
-        Returns (new_pyramid, TrackResult)."""
+
+        Returns (new_pyramid, packed) where packed is ONE f32 vector
+        [pts (N*2) | ok (N) | pose (7) | num_inliers (1)] — a single
+        device->host transfer instead of four (each costs a full RTT on
+        tunneled TPUs). Unpack with ``unpack_track_result``.
+        """
         pyr_cur = _pyramid(img_u8)
-        return pyr_cur, _track(pyr_last, pyr_cur, feat_px, feat_valid,
-                               lm_world, pose_pred)
+        r = _track(pyr_last, pyr_cur, feat_px, feat_valid, lm_world,
+                   pose_pred)
+        packed = jnp.concatenate([
+            r.pts.reshape(-1), r.ok.astype(jnp.float32), r.pose,
+            r.num_inliers.astype(jnp.float32)[None]])
+        return pyr_cur, packed
 
     @jax.jit
     def make_keyframe(pyr_left, pyr_right, cur_px, cur_valid, kf_pose):

@@ -41,10 +41,15 @@ class Section:
 
 
 def headings(poses):
-    """Unit forward (x) vectors of an array of poses (N, 7)."""
-    return np.asarray(jax.vmap(
-        lambda q: quat_rotate(q, jnp.array([1.0, 0.0, 0.0])))(
-        jnp.asarray(poses[:, :4])))
+    """Unit forward (x) vectors of an array of poses (N, 7). Pure numpy:
+    this runs per keyframe on variable-length slices (a jitted version
+    would recompile per length)."""
+    q = np.asarray(poses[:, :4], np.float64)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # R @ [1,0,0]: first column of the rotation matrix
+    return np.stack([1 - 2 * (y * y + z * z),
+                     2 * (x * y + w * z),
+                     2 * (x * z - w * y)], axis=1)
 
 
 def _angle_deg(v1, v2):
@@ -236,13 +241,14 @@ class PoseGraph:
 
     def _apply_rigid(self, m, transform, start_kf: int, end_kf: int):
         """new_pose = transform * old_pose for kfs in [start, end)
-        (ForwardUpdate, pose_graph.cpp:227-252)."""
-        T = jnp.asarray(transform)
+        (ForwardUpdate, pose_graph.cpp:227-252). Numpy: per-kf device
+        dispatches would dominate behind a remote tunnel."""
+        from lvio_fusion_tpu.utils import np_se3
+        T = np.asarray(transform, np.float32)
         for i in range(start_kf, min(end_kf, m.num_kfs)):
-            m.kf_pose[i] = np.asarray(
-                se3_mul(T, jnp.asarray(m.kf_pose[i]))).astype(np.float32)
-            m.kf_vel[i] = np.asarray(
-                quat_rotate(T[:4], jnp.asarray(m.kf_vel[i]))).astype(np.float32)
+            m.kf_pose[i] = np_se3.se3_mul(T, m.kf_pose[i])
+            m.kf_vel[i] = np_se3.quat_rotate(T[:4], m.kf_vel[i]).astype(
+                np.float32)
 
     def forward_update(self, m, transform, start_kf: int):
         self._apply_rigid(m, transform, start_kf, m.num_kfs)

@@ -81,11 +81,11 @@ class Navsat:
 
     def get_point(self, kf_idx: int) -> Optional[np.ndarray]:
         """Fix point in map frame for a keyframe."""
+        from lvio_fusion_tpu.utils import np_se3
         f = self.kf_fix.get(kf_idx)
         if f is None:
             return None
-        return np.asarray(se3_apply(jnp.asarray(self.extrinsic),
-                                    jnp.asarray(f)))
+        return np_se3.se3_apply(self.extrinsic, f)
 
     # ---------------- initialization ----------------
 
@@ -121,18 +121,19 @@ class Navsat:
     def _bc_tables(self, m, frame_idx: int, end_idx: int):
         ids = [i for i in range(frame_idx, min(end_idx + 1, m.num_kfs))
                if i in self.kf_fix]
+        from lvio_fusion_tpu.utils import np_se3
         n = min(len(ids), BC_CAP)
         rel_p = np.zeros((BC_CAP, 3), np.float32)
         fixp = np.zeros((BC_CAP, 3), np.float32)
         valid = np.zeros(BC_CAP, bool)
-        base = jnp.asarray(m.kf_pose[frame_idx])
-        inv = se3_inv(base)
+        base = np.asarray(m.kf_pose[frame_idx], np.float32)
+        inv = np_se3.se3_inv(base)
         for s, i in enumerate(ids[:n]):
-            rel_p[s] = np.asarray(se3_apply(inv, jnp.asarray(
-                m.kf_pose[i][4:])))
+            rel_p[s] = np_se3.se3_apply(inv, m.kf_pose[i][4:])
             fixp[s] = self.get_point(i)
             valid[s] = True
-        return base, jnp.asarray(rel_p), jnp.asarray(fixp), jnp.asarray(valid)
+        return (jnp.asarray(base), jnp.asarray(rel_p), jnp.asarray(fixp),
+                jnp.asarray(valid))
 
     def optimize_bc(self, m, pose_graph, frame_idx: int, end_idx: int,
                     free_mask, iters: int = 6):
@@ -165,8 +166,8 @@ class Navsat:
                                         valid.astype(jnp.float32), mask,
                                         iters))
         m.kf_pose[frame_idx] = new_pose.astype(np.float32)
-        transform = np.asarray(se3_mul(jnp.asarray(new_pose),
-                                       se3_inv(jnp.asarray(old_pose))))
+        from lvio_fusion_tpu.utils import np_se3
+        transform = np_se3.se3_mul(new_pose, np_se3.se3_inv(old_pose))
         pose_graph._apply_rigid(m, transform, frame_idx + 1, end_idx + 1)
 
     def optimize_section(self, m, pose_graph, section):

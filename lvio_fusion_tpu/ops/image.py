@@ -25,14 +25,47 @@ def _conv2d_same(img, kernel):
     return out[0, 0]
 
 
-_GAUSS5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+def _sep_h(img, taps):
+    """Horizontal 1-D filter via shift-and-add (zero 'SAME' padding).
+
+    XLA's conv path is catastrophically slow for single-channel images on
+    TPU (~25 ms per 5-tap blur at KITTI size); shifted slice adds are pure
+    VPU elementwise work (<1 ms).
+    """
+    k = len(taps)
+    pad = k // 2
+    W = img.shape[1]
+    xp = jnp.pad(img, ((0, 0), (pad, pad)))
+    out = taps[0] * xp[:, 0:W]
+    for i in range(1, k):
+        out = out + taps[i] * xp[:, i:i + W]
+    return out
+
+
+def _sep_v(img, taps):
+    k = len(taps)
+    pad = k // 2
+    H = img.shape[0]
+    xp = jnp.pad(img, ((pad, pad), (0, 0)))
+    out = taps[0] * xp[0:H, :]
+    for i in range(1, k):
+        out = out + taps[i] * xp[i:i + H, :]
+    return out
+
+
+def sep_filter(img, taps_x, taps_y):
+    """Separable 2-D filter: taps_y applied vertically, taps_x
+    horizontally (correlation orientation, matching 'SAME' zero-pad
+    convolution of the symmetric/antisymmetric kernels used here)."""
+    return _sep_v(_sep_h(img, taps_x), taps_y)
+
+
+_GAUSS5 = (1 / 16.0, 4 / 16.0, 6 / 16.0, 4 / 16.0, 1 / 16.0)
 
 
 def gaussian_blur5(img):
     """Separable 5-tap Gaussian (the classic pyramid smoothing kernel)."""
-    img = _conv2d_same(img, _GAUSS5[None, :])
-    img = _conv2d_same(img, _GAUSS5[:, None])
-    return img
+    return sep_filter(img, _GAUSS5, _GAUSS5)
 
 
 def downsample2(img):
@@ -50,22 +83,20 @@ def build_pyramid(img, levels: int = 4) -> List[jnp.ndarray]:
 
 def scharr_gradients(img):
     """Scharr x/y gradients, 1/32 normalized (cv::Scharr convention)."""
-    kx = jnp.array([[-3.0, 0.0, 3.0], [-10.0, 0.0, 10.0], [-3.0, 0.0, 3.0]]) / 32.0
-    ky = kx.T
-    return _conv2d_same(img, kx), _conv2d_same(img, ky)
+    d = (-1.0 / 32, 0.0, 1.0 / 32)
+    s = (3.0, 10.0, 3.0)
+    return sep_filter(img, d, s), sep_filter(img, s, d)
 
 
 def sobel_gradients(img):
-    kx = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
-    ky = kx.T
-    return _conv2d_same(img, kx), _conv2d_same(img, ky)
+    d = (-1.0 / 8, 0.0, 1.0 / 8)
+    s = (1.0, 2.0, 1.0)
+    return sep_filter(img, d, s), sep_filter(img, s, d)
 
 
 def box_filter(img, size: int):
-    k = jnp.ones((size,), img.dtype) / size
-    img = _conv2d_same(img, k[None, :])
-    img = _conv2d_same(img, k[:, None])
-    return img
+    taps = (1.0 / size,) * size
+    return sep_filter(img, taps, taps)
 
 
 def bilinear_sample(img, xy):
@@ -100,6 +131,30 @@ def patch_grid(center, size: int):
 def sample_patch(img, center, size: int):
     """Bilinear (size, size) patch around subpixel center [x, y]."""
     return bilinear_sample(img, patch_grid(center, size))
+
+
+def extract_patch(img, center, size: int):
+    """Bilinear (size, size) patch via ONE dynamic_slice + 4-tap mix.
+
+    TPU-friendly: a vmapped dynamic_slice lowers to a gather of contiguous
+    2-D blocks instead of size^2 scalar gathers (the pointwise
+    bilinear_sample path is an order of magnitude slower on TPU).
+    dynamic_slice clamps out-of-range starts; callers must bounds-check
+    separately (LK already gates with in_bounds).
+    """
+    half = (size - 1) / 2.0
+    cx = center[0] - half
+    cy = center[1] - half
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0).astype(img.dtype)
+    fy = (cy - y0).astype(img.dtype)
+    blk = jax.lax.dynamic_slice(
+        img, (y0.astype(jnp.int32), x0.astype(jnp.int32)),
+        (size + 1, size + 1))
+    top = (1 - fx) * blk[:-1, :-1] + fx * blk[:-1, 1:]
+    bot = (1 - fx) * blk[1:, :-1] + fx * blk[1:, 1:]
+    return (1 - fy) * top + fy * bot
 
 
 def in_bounds(xy, H: int, W: int, margin: float = 1.0):

@@ -17,10 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from lvio_fusion_tpu.ops.image import (
-    bilinear_sample,
+    extract_patch,
     in_bounds,
-    patch_grid,
-    sample_patch,
     scharr_gradients,
 )
 
@@ -28,12 +26,11 @@ from lvio_fusion_tpu.ops.image import (
 def _lk_level(img0, img1, p0, p1_init, win: int, iters: int, grads0=None):
     """Single-level IC-LK for one point. p0: template center in img0;
     p1_init: initial estimate in img1. Returns (p1, converged)."""
-    grid0 = patch_grid(p0, win)
-    t = bilinear_sample(img0, grid0)
+    t = extract_patch(img0, p0, win)
     if grads0 is None:
         raise ValueError("grads0 required")
-    gx = bilinear_sample(grads0[0], grid0)
-    gy = bilinear_sample(grads0[1], grid0)
+    gx = extract_patch(grads0[0], p0, win)
+    gy = extract_patch(grads0[1], p0, win)
     # 2x2 normal matrix from template gradients
     gxx = jnp.sum(gx * gx)
     gxy = jnp.sum(gx * gy)
@@ -44,7 +41,7 @@ def _lk_level(img0, img1, p0, p1_init, win: int, iters: int, grads0=None):
     inv = jnp.array([[gyy, -gxy], [-gxy, gxx]]) / det_safe
 
     def body(_, p):
-        w = bilinear_sample(img1, patch_grid(p, win))
+        w = extract_patch(img1, p, win)
         diff = w - t
         b = jnp.stack([jnp.sum(gx * diff), jnp.sum(gy * diff)])
         # inverse-compositional translation update: p <- p - inv @ b ... sign:
@@ -67,12 +64,22 @@ def lk_pyramid(pyr0, pyr1, grads0, pts0, pts_init, win: int = 21,
     p = pts_init / scale
     ok = jnp.ones(pts0.shape[0], dtype=bool)
     H0, W0 = pyr0[0].shape
+    # edge-pad each level once so border patches stay aligned —
+    # extract_patch's dynamic_slice clamps the START index, which would
+    # silently SHIFT patches near borders (consistently wrong tracks that
+    # survive the bidirectional check)
+    P = win // 2 + 2
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
-        p0l = pts0 / s
-        track = jax.vmap(partial(_lk_level, pyr0[lvl], pyr1[lvl], win=win,
-                                 iters=iters, grads0=grads0[lvl]))
-        p, ok_l = track(p0l, p)
+        p0l = pts0 / s + P
+        i0p = jnp.pad(pyr0[lvl], P, mode="edge")
+        i1p = jnp.pad(pyr1[lvl], P, mode="edge")
+        gxp = jnp.pad(grads0[lvl][0], P, mode="edge")
+        gyp = jnp.pad(grads0[lvl][1], P, mode="edge")
+        track = jax.vmap(partial(_lk_level, i0p, i1p, win=win,
+                                 iters=iters, grads0=(gxp, gyp)))
+        p, ok_l = track(p0l, p + P)
+        p = p - P
         ok = ok & ok_l
         if lvl > 0:
             p = p * 2.0
