@@ -49,7 +49,7 @@ class Backend:
         self.cam_right = cam_right
         self.use_imu = use_imu
         self.solve_vo = make_window_ba(cam_left, cam_right,
-                                       num_iters=num_iters)
+                                       num_iters=num_iters, packed=True)
         # fixed-shape helpers (varying shapes would force a recompile per
         # call — seconds each behind a remote-compile tunnel)
         C = caps.F  # per-window obs capacity for outlier rejection
@@ -75,7 +75,8 @@ class Backend:
             from lvio_fusion_tpu.solver.imu_factor import make_imu_linearizer
             self.solve_vio = make_window_ba(
                 cam_left, cam_right, num_iters=num_iters, use_imu=True,
-                imu_linearizer=imu_linearizer or make_imu_linearizer())
+                imu_linearizer=imu_linearizer or make_imu_linearizer(),
+                packed=True)
     def _select_window(self, m: HostMap):
         """Last K kfs, clipped to window_seconds like backend.cpp:221."""
         n = m.num_kfs
@@ -206,20 +207,22 @@ class Backend:
         if use_vio and imu_tables is None:
             imu_tables = self._build_imu_tables(m, kf_idx)
         if use_vio:
-            out, cost = self.solve_vio(params, vt, pt, kf_valid, kf_fixed,
-                                       imu_tables)
+            flat = self.solve_vio(params, vt, pt, kf_valid, kf_fixed,
+                                  imu_tables)
         else:
-            out, cost = self.solve_vo(params, vt, pt, kf_valid, kf_fixed)
-        new_poses = np.asarray(out.poses)[:K_act]
-        new_depths = np.asarray(out.inv_depth)
+            flat = self.solve_vo(params, vt, pt, kf_valid, kf_fixed)
+        from lvio_fusion_tpu.solver.ba import unpack_ba_result
+        new_poses, new_vel, new_bias, new_depths, cost = unpack_ba_result(
+            flat, K, L)
+        new_poses = new_poses[:K_act]
 
         # ---- write back ----
         old_newest = m.kf_pose[kf_idx[-1]].copy()
         for i, g in enumerate(kf_idx):
             m.kf_pose[g] = new_poses[i]
             if use_vio:
-                m.kf_vel[g] = np.asarray(out.vel)[i]
-                m.kf_bias[g] = np.asarray(out.bias)[i]
+                m.kf_vel[g] = new_vel[i]
+                m.kf_bias[g] = new_bias[i]
         for s, gid in enumerate(opt_ids):
             m.lm_inv_depth[gid] = float(new_depths[s])
 

@@ -192,6 +192,63 @@ class Estimator:
     def set_agent(self, agent):
         self.agent = agent
 
+    @classmethod
+    def from_config(cls, path: str, height: int, width: int,
+                    **overrides) -> "Estimator":
+        """Build an Estimator from a reference-format YAML (e.g. the
+        kitti.yaml shipped with lvio_fusion — same keys, including
+        !!opencv-matrix extrinsics; estimator.cpp:17-166 wiring).
+
+        Image dimensions aren't stored in the reference YAMLs, so they
+        must be supplied.
+        """
+        from lvio_fusion_tpu.models.camera import Camera
+        from lvio_fusion_tpu.utils import config as cfgmod
+
+        c = cfgmod.load(path)
+        flags = c.flags()
+        cam0 = Camera.create(
+            c.get("camera0.fx"), c.get("camera0.fy"),
+            c.get("camera0.cx"), c.get("camera0.cy"),
+            c.mat44_to_se3("body_to_cam0"))
+        cam1 = Camera.create(
+            c.get("camera1.fx"), c.get("camera1.fy"),
+            c.get("camera1.cx"), c.get("camera1.cy"),
+            c.mat44_to_se3("body_to_cam1"))
+        lidar_ext = (np.asarray(c.mat44_to_se3("body_to_lidar"))
+                     if "body_to_lidar" in c else None)
+
+        ecfg = EstimatorConfig(
+            height=height, width=width,
+            num_features=int(c.get("num_features", 500)),
+            num_features_init=int(c.get("num_features_init", 50)),
+            num_features_tracking_bad=int(
+                c.get("num_features_tracking_bad", 20)),
+            num_features_needed_for_keyframe=int(
+                c.get("num_features_needed_for_keyframe", 120)),
+            window_seconds=float(c.get("windows_size", 3)),
+            use_imu=flags["use_imu"], use_lidar=flags["use_lidar"],
+            use_navsat=flags["use_navsat"], use_loop=flags["use_loop"],
+            num_scans=int(c.get("num_scans", 64)),
+            horizon_scan=int(c.get("horizon_scan", 1800)),
+            ang_res_y=float(c.get("ang_res_y", 0.427)),
+            ang_bottom=float(c.get("ang_bottom", 24.9)),
+            ground_rows=int(c.get("ground_rows", 60)),
+            cycle_time=float(c.get("cycle_time", 0.1036)),
+            min_range=float(c.get("min_range", 5)),
+            max_range=float(c.get("max_range", 30)),
+            resolution=float(c.get("resolution", 0.2)),
+            acc_n=float(c.get("acc_n", 0.1)),
+            gyr_n=float(c.get("gyr_n", 0.01)),
+            acc_w=float(c.get("acc_w", 1e-3)),
+            gyr_w=float(c.get("gyr_w", 1e-4)),
+            g_norm=float(c.get("g_norm", 9.81007)),
+            navsat_accuracy=float(c.get("accuracy", 1.0)),
+            loop_threshold=float(c.get("threshold", 10.0)),
+            visual_weight=float(c.get("camera0.fx", 500)) / 500.0,
+            **overrides)
+        return cls(cam0, cam1, ecfg, lidar_extrinsic=lidar_ext)
+
     def _kf_observation(self, kf_idx):
         """(4,12,3) observation grid for a new keyframe
         (Frame::GetObservation)."""
@@ -440,11 +497,12 @@ class Estimator:
     def _init_map(self, time, pyr_left, img_right_u8, pose) -> bool:
         """BUILDING/LOST -> detect + triangulate a fresh landmark set
         (frontend.cpp InitMap)."""
-        kf = self.keyframe_step(jnp.asarray(img_right_u8), pyr_left,
-                                jnp.asarray(self.feat_px),
-                                jnp.asarray(self.feat_valid),
-                                jnp.asarray(pose, dtype=jnp.float32))
-        valid = np.asarray(kf.valid)
+        from lvio_fusion_tpu.core.frontend import unpack_keyframe_result
+        kf = unpack_keyframe_result(self.keyframe_step(
+            jnp.asarray(img_right_u8), pyr_left,
+            jnp.asarray(self.feat_px), jnp.asarray(self.feat_valid),
+            jnp.asarray(pose, dtype=jnp.float32)))
+        valid = kf.valid
         if valid.sum() < self.cfg.num_features_init:
             return False
         kf_idx = self.map.add_keyframe(
@@ -465,11 +523,12 @@ class Estimator:
         if sel.any():
             self.map.add_observations(kf_idx, self.feat_lm[sel],
                                       self.feat_px[sel])
-        kf = self.keyframe_step(jnp.asarray(img_right_u8), pyr_left,
-                                jnp.asarray(self.feat_px),
-                                jnp.asarray(self.feat_valid),
-                                jnp.asarray(pose, dtype=jnp.float32))
-        self._insert_new_landmarks(kf_idx, kf, np.asarray(kf.valid))
+        from lvio_fusion_tpu.core.frontend import unpack_keyframe_result
+        kf = unpack_keyframe_result(self.keyframe_step(
+            jnp.asarray(img_right_u8), pyr_left,
+            jnp.asarray(self.feat_px), jnp.asarray(self.feat_valid),
+            jnp.asarray(pose, dtype=jnp.float32)))
+        self._insert_new_landmarks(kf_idx, kf, kf.valid)
         self.last_kf_time = time
 
         if self.agent is not None:

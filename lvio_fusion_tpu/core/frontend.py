@@ -47,6 +47,15 @@ class KeyframeResult(NamedTuple):
     valid: jnp.ndarray         # (M,) bool
 
 
+def unpack_keyframe_result(packed):
+    """Host-side unpack of keyframe_step's packed (M, 9) result."""
+    packed = np.asarray(packed)
+    return KeyframeResult(
+        new_px_left=packed[:, 0:2], new_px_right=packed[:, 2:4],
+        inv_depth=packed[:, 4], world=packed[:, 5:8],
+        valid=packed[:, 8] > 0.5)
+
+
 def unpack_track_result(packed, n_features: int):
     """Host-side unpack of frame_step's packed result (numpy)."""
     packed = np.asarray(packed)
@@ -204,10 +213,16 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     @jax.jit
     def keyframe_step(img_right_u8, pyr_left, cur_px, cur_valid, kf_pose):
         """Fused keyframe stage: right pyramid + detect + stereo +
-        triangulate, one dispatch."""
+        triangulate, one dispatch + ONE packed transfer.
+
+        Returns one f32 array [px_l (M,2) | px_r (M,2) | inv_d (M,1) |
+        world (M,3) | valid (M,1)] of shape (M, 9); unpack with
+        ``unpack_keyframe_result``."""
         pyr_right = _pyramid(img_right_u8)
-        return make_keyframe(pyr_left, pyr_right, cur_px, cur_valid,
-                             kf_pose)
+        r = make_keyframe(pyr_left, pyr_right, cur_px, cur_valid, kf_pose)
+        return jnp.concatenate([
+            r.new_px_left, r.new_px_right, r.inv_depth[:, None], r.world,
+            r.valid.astype(jnp.float32)[:, None]], axis=1)
 
     @jax.jit
     def landmark_world(anchor_poses, first_obs, inv_depths):

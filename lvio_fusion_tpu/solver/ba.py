@@ -204,11 +204,14 @@ class WindowBAProblem(NamedTuple):
 
 
 def make_window_ba(cam_left, cam_right, num_iters: int = 8, use_imu: bool = False,
-                   imu_linearizer=None):
+                   imu_linearizer=None, packed: bool = False):
     """Build a jittable window-BA solve function.
 
     Returns solve(params, visual_tables, prior_tables, kf_valid,
-                  kf_fixed, imu_tables=None) -> BAParams
+                  kf_fixed, imu_tables=None) -> (BAParams, cost), or — with
+    ``packed=True`` — ONE flat f32 array
+    [poses (K*7) | vel (K*3) | bias (K*6) | inv_depth (L) | cost] so the
+    host pays a single device->host transfer (see unpack_ba_result).
     """
 
     def build(params, vt, pt, p_valid, l_valid, imu_tables):
@@ -258,6 +261,23 @@ def make_window_ba(cam_left, cam_right, num_iters: int = 8, use_imu: bool = Fals
             cost_fn=lambda p: cost_fn(p, vt, pt, imu_tables),
             num_iters=num_iters,
         )
+        if packed:
+            p = res.params
+            return jnp.concatenate([
+                p.poses.reshape(-1), p.vel.reshape(-1), p.bias.reshape(-1),
+                p.inv_depth, res.cost[None]])
         return res.params, res.cost
 
     return solve
+
+
+def unpack_ba_result(flat, K: int, L: int):
+    """Host-side unpack of the packed window-BA result (numpy)."""
+    import numpy as np
+    flat = np.asarray(flat)
+    poses = flat[:K * 7].reshape(K, 7)
+    vel = flat[K * 7:K * 10].reshape(K, 3)
+    bias = flat[K * 10:K * 16].reshape(K, 6)
+    inv_depth = flat[K * 16:K * 16 + L]
+    cost = float(flat[-1])
+    return poses, vel, bias, inv_depth, cost
