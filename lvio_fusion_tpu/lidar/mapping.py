@@ -53,13 +53,11 @@ RPZ_MASK, YXY_MASK = dof_masks("z")  # roll,pitch,z / yaw,x,y
 
 
 def knn3_planes(query_w, query_valid, map_pts, map_valid, dist_thresh):
-    """3-NN plane fit: returns (plane_pt (N,3), normal (N,3), ok (N,))."""
-    d2 = (jnp.sum(query_w ** 2, -1, keepdims=True)
-          - 2.0 * query_w @ map_pts.T
-          + jnp.sum(map_pts ** 2, -1)[None, :])
-    d2 = jnp.where(map_valid[None, :], d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, 3)  # (N, 3)
-    dists = -neg
+    """3-NN plane fit: returns (plane_pt (N,3), normal (N,3), ok (N,)).
+    Association runs through the Pallas kNN kernel on TPU
+    (ops/pallas/knn.py), XLA matmul+top_k elsewhere."""
+    from lvio_fusion_tpu.ops.pallas.knn import knn3
+    dists, idx = knn3(query_w, map_pts, map_valid)
     pts = map_pts[idx]  # (N, 3, 3)
     a, b, c = pts[:, 0], pts[:, 1], pts[:, 2]
     n = jnp.cross(b - a, c - a)
