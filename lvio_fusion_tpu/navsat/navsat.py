@@ -174,10 +174,40 @@ class Navsat:
         """Full section refinement (Navsat::Optimize)."""
         self.optimize_bc(m, pose_graph, section.B, section.C,
                          [True] * 6)
+        if section.A != section.B:
+            self.optimize_ab(m, section)
         for i in range(section.B + 1, section.C):
             # per-frame longitudinal fix (mode 0b110111 => only x free)
             self.optimize_bc(m, pose_graph, i, i + 1,
                              [False, False, False, True, False, False])
+
+    def optimize_ab(self, m, section):
+        """Smooth the turning segment A..B with a relative-pose chain +
+        GPS position anchors, endpoints fixed (Navsat::OptimizeAB,
+        navsat.cpp:271-307; z interpolated between A's and B's heights)."""
+        ids = [i for i in range(section.A, min(section.B + 1, m.num_kfs))]
+        n = len(ids)
+        if n < 3 or n > AB_CAP:
+            return
+        poses = np.zeros((AB_CAP, 7), np.float32)
+        poses[:, 0] = 1.0
+        fixp = np.zeros((AB_CAP, 3), np.float32)
+        valid = np.zeros(AB_CAP, bool)
+        zA = m.kf_pose[section.A][6]
+        zB = m.kf_pose[section.B][6]
+        for s, i in enumerate(ids):
+            poses[s] = m.kf_pose[i]
+            p = self.get_point(i)
+            if p is not None:
+                a = s / max(n - 1, 1)
+                fixp[s] = [p[0], p[1], (1 - a) * zA + a * zB]
+                valid[s] = True
+        new_poses = np.asarray(_ab_solve(
+            jnp.asarray(poses), jnp.asarray(fixp), jnp.asarray(valid),
+            jnp.asarray(n, jnp.int32)))
+        for s, i in enumerate(ids):
+            if 0 < s < n - 1:  # endpoints stay fixed
+                m.kf_pose[i] = new_poses[s].astype(np.float32)
 
     def quick_fix(self, m, pose_graph, end_idx: int):
         """Refine the live tail (Navsat::QuickFix)."""
@@ -220,3 +250,71 @@ def _bc_solve(base_pose, rel_p, fixp, valid, dof_mask, iters: int = 6):
 
     para, _ = jax.lax.scan(gn, jnp.zeros(6), None, length=iters)
     return se3_mul(base_pose, rpyxyz_to_se3(para * dof_mask))
+
+
+@jax.jit
+def _ab_solve(poses0, fixp, fix_valid, n_act):
+    """LM over inner poses of a turning segment: relative-pose chain
+    (measured from the current values, per-axis weights like
+    PoseGraphError(1, 20)) + Huber position anchors; endpoints fixed."""
+    from lvio_fusion_tpu.solver import factors
+    from lvio_fusion_tpu.solver.assemble import Contribution, assemble
+    from lvio_fusion_tpu.solver.lm import lm_solve, pin_invalid
+
+    C = poses0.shape[0]
+    idx = jnp.arange(C)
+    valid = idx < n_act
+    fixed = (idx == 0) | (idx == n_act - 1) | ~valid
+    idx_j = jnp.minimum(idx + 1, C - 1)
+    meas_rel = jax.vmap(lambda i: se3_mul(
+        se3_inv(poses0[i]), poses0[jnp.minimum(i + 1, C - 1)]))(idx)
+    edge_valid = valid & (idx < n_act - 1)
+    # rotation stiff, translation soft: the chain keeps local smoothness
+    # while GPS anchors pull the positions (PoseGraphError(1, 20) weights)
+    axis_w = jnp.array([20.0, 20.0, 20.0, 1.0, 1.0, 1.0])
+
+    def build(poses):
+        z = jnp.zeros((C, 6), poses.dtype)
+
+        def f_rel(xi_i, xi_j, p_i, p_j, meas):
+            return factors.relative_pose(xi_i, xi_j, p_i, p_j, meas, 1.0,
+                                         axis_w)
+
+        args = (poses, poses[idx_j], meas_rel)
+        r = jax.vmap(f_rel)(z, z, *args)
+        Ji, Jj = jax.vmap(jax.jacfwd(f_rel, argnums=(0, 1)))(z, z, *args)
+        pad = jnp.zeros(Ji.shape[:2] + (9,), poses.dtype)
+        c1 = Contribution(
+            r=r, pose_idx=(idx.astype(jnp.int32), idx_j.astype(jnp.int32)),
+            pose_jacs=(jnp.concatenate([Ji, pad], -1),
+                       jnp.concatenate([Jj, pad], -1)),
+            lm_idx=None, lm_jac=None, valid=edge_valid)
+
+        def f_pos(xi, p_i, target):
+            # anchors dominate the (noisy) chain translations
+            return factors.position_prior(xi, p_i, target, 3.0)
+
+        r2 = jax.vmap(f_pos)(z, poses, fixp)
+        # Huber 2 m on the anchors
+        nrm = jnp.linalg.norm(r2, axis=-1, keepdims=True) + 1e-9
+        s = jnp.sqrt(jnp.minimum(1.0, 2.0 / nrm))
+        J2 = jax.vmap(jax.jacfwd(f_pos, argnums=0))(z, poses, fixp)
+        r2, J2 = r2 * s, J2 * s[..., None]
+        pad2 = jnp.zeros(J2.shape[:2] + (9,), poses.dtype)
+        c2 = Contribution(
+            r=r2, pose_idx=(idx.astype(jnp.int32),),
+            pose_jacs=(jnp.concatenate([J2, pad2], -1),),
+            lm_idx=None, lm_jac=None, valid=valid & fix_valid)
+        sys = assemble([c1, c2], C, 15, 0)
+        pv = jnp.concatenate([
+            jnp.repeat((valid & ~fixed)[:, None], 6, 1),
+            jnp.zeros((C, 9), bool)], axis=1).reshape(-1)
+        return pin_invalid(sys, pv, jnp.zeros(0, bool))
+
+    def retract(poses, dxp, dxl):
+        dx = dxp.reshape(C, 15)[:, :6] * (valid & ~fixed)[:, None]
+        return jax.vmap(se3_boxplus)(poses, dx)
+
+    res = lm_solve(poses0, build, retract,
+                   lambda p: build(p).cost, num_iters=5)
+    return res.params
