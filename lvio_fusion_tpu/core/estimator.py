@@ -103,6 +103,7 @@ class Estimator:
         self.landmark_world = fns.landmark_world
         self.frame_step = fns.frame_step
         self.keyframe_step = fns.keyframe_step
+        self.frame_step_chained = fns.frame_step_chained
         self.backend = Backend(
             cam_left, cam_right,
             caps=WindowCaps(K=c.window_kfs, L=c.landmark_slots,
@@ -114,6 +115,7 @@ class Estimator:
         # frontend state
         self.status = self.BUILDING
         self.last_pyr = None
+        self._dev = None  # device-resident tracking chain state
         self.last_pose = np.asarray(se3_identity())
         self.relative = np.asarray(se3_identity())  # constant-velocity model
         self.last_time: Optional[float] = None
@@ -390,6 +392,23 @@ class Estimator:
 
     # ------------------------------------------------------------------
 
+    def _sync_device_state(self):
+        """Upload the host tracking state to the device chain (called when
+        host-side events — keyframes, re-inits, global corrections —
+        mutate features, landmark positions, or the pose)."""
+        lm_world = np.zeros((len(self.feat_lm), 3), np.float32)
+        sel = self.feat_valid
+        if sel.any():
+            lm_world[sel] = np.stack(
+                [self.map.lm_world[i] for i in self.feat_lm[sel]])
+        self._dev = dict(
+            pyr=self.last_pyr,
+            feat_px=jnp.asarray(self.feat_px),
+            feat_valid=jnp.asarray(self.feat_valid),
+            lm_world=jnp.asarray(lm_world),
+            pose=jnp.asarray(self.last_pose),
+            relative=jnp.asarray(self.relative))
+
     @staticmethod
     def _to_u8(img):
         img = np.asarray(img)
@@ -427,7 +446,9 @@ class Estimator:
 
         # ---- per-frame tracking ----
         from lvio_fusion_tpu.utils import np_se3
-        pose_pred = np_se3.se3_mul(self.last_pose, self.relative)
+        ext_pred = np.zeros(7, np.float32)
+        ext_pred[0] = 1.0
+        use_ext = False
         if self.cfg.use_imu:
             ts, accs, gyrs = self._consume_imu(self.last_time, time)
             self._kf_t += ts
@@ -445,35 +466,41 @@ class Estimator:
                     jnp.asarray(self.cur_bias[:3]),
                     jnp.asarray(self.cur_bias[3:]),
                     jnp.float32(self.cfg.g_norm))
-                pose_pred = np.asarray(pose_j)
+                ext_pred = np.asarray(pose_j)
                 self.cur_vel = np.asarray(vel_j)
-        lm_world = np.zeros((len(self.feat_lm), 3), np.float32)
-        sel = self.feat_valid
-        if sel.any():
-            lm_world[sel] = np.stack(
-                [self.map.lm_world[i] for i in self.feat_lm[sel]])
-        # fused per-frame step: ONE device dispatch + ONE transfer back
+                use_ext = True
+
+        # device-chained step: all tracking state stays on device between
+        # frames; one image upload, one dispatch, one packed fetch
         from lvio_fusion_tpu.core.frontend import unpack_track_result
-        pyr_cur, packed = self.frame_step(jnp.asarray(img_left),
-                                          self.last_pyr,
-                                          jnp.asarray(self.feat_px),
-                                          jnp.asarray(self.feat_valid),
-                                          jnp.asarray(lm_world),
-                                          jnp.asarray(pose_pred))
+        if self._dev is None:
+            self._sync_device_state()
+        d = self._dev
+        (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed) = \
+            self.frame_step_chained(
+                jnp.asarray(img_left), d["pyr"], d["feat_px"],
+                d["feat_valid"], d["lm_world"], d["pose"], d["relative"],
+                jnp.asarray(ext_pred), jnp.asarray(use_ext))
+        self._dev = dict(pyr=pyr_cur, feat_px=fpx_d, feat_valid=fval_d,
+                         lm_world=d["lm_world"], pose=pose_d,
+                         relative=rel_d)
         pyr_left = pyr_cur
         pts, ok, pose, n_inliers = unpack_track_result(
             packed, self.cfg.num_features)
         self.feat_px = pts.copy()
         self.feat_valid = ok.copy()
 
+        need_sync = False
         if n_inliers <= self.cfg.num_features_tracking_bad:
             # tracking lost: re-init map in place, keep extrapolated pose
             # (frontend.cpp:129-137)
             self.status = self.LOST
-            pose = pose_pred
+            pose = (ext_pred if use_ext
+                    else np_se3.se3_mul(self.last_pose, self.relative))
             self.feat_valid[:] = False
             if self._init_map(time, pyr_left, self._to_u8(img_right), pose):
                 self.status = self.TRACKING
+            need_sync = True
         else:
             need_kf = (n_inliers < self.cfg.num_features_needed_for_keyframe
                        or time - self.last_kf_time
@@ -481,6 +508,7 @@ class Estimator:
             if need_kf:
                 pose = self._create_keyframe(time, pyr_left,
                                              self._to_u8(img_right), pose)
+                need_sync = True
 
         # update constant-velocity model with the (refined) relative motion,
         # normalized per unit time like relative_i_j in the reference
@@ -490,6 +518,10 @@ class Estimator:
         self.last_pose = pose
         self.last_pyr = pyr_left
         self.last_time = time
+        if need_sync:
+            # host events changed features/landmarks/pose: re-seed the
+            # device chain
+            self._sync_device_state()
         return pose
 
     # ------------------------------------------------------------------

@@ -74,6 +74,7 @@ class FrontendFns(NamedTuple):
     landmark_world: object
     frame_step: object     # fused: pyramid + track + refine (1 dispatch)
     keyframe_step: object  # fused: right pyramid + detect + triangulate
+    frame_step_chained: object  # device-resident state chaining
 
 
 def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
@@ -161,6 +162,28 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                       pose_pred)
 
     @jax.jit
+    def frame_step_chained(img_u8, pyr_last, feat_px, feat_valid, lm_world,
+                           pose, relative, ext_pose_pred, use_ext):
+        """Device-chained per-frame step: ALL tracking state stays on
+        device between frames (uploads over a tunneled TPU cost a full
+        RTT each). Prediction = pose * relative unless an external (IMU)
+        prediction is supplied (use_ext).
+
+        Returns (pyr_cur, feat_px', feat_valid', pose', relative',
+        packed) — only ``packed`` is fetched by the host.
+        """
+        pyr_cur = _pyramid(img_u8)
+        pose_pred = jnp.where(use_ext, ext_pose_pred,
+                              se3_mul(pose, relative))
+        r = _track(pyr_last, pyr_cur, feat_px, feat_valid, lm_world,
+                   pose_pred)
+        new_rel = se3_mul(se3_inv(pose), r.pose)
+        packed = jnp.concatenate([
+            r.pts.reshape(-1), r.ok.astype(jnp.float32), r.pose,
+            r.num_inliers.astype(jnp.float32)[None]])
+        return pyr_cur, r.pts, r.ok, r.pose, new_rel, packed
+
+    @jax.jit
     def frame_step(img_u8, pyr_last, feat_px, feat_valid, lm_world,
                    pose_pred):
         """Fused per-frame step: pyramid + LK + pose refine, one dispatch.
@@ -233,4 +256,5 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         return jax.vmap(se3_apply)(anchor_poses, pb)
 
     return FrontendFns(preprocess, track_frame, make_keyframe,
-                       landmark_world, frame_step, keyframe_step)
+                       landmark_world, frame_step, keyframe_step,
+                       frame_step_chained)
