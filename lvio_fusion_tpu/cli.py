@@ -131,6 +131,43 @@ def cmd_train_rl(args):
           f"policy -> {args.out}")
 
 
+def cmd_eval(args):
+    """ATE/RPE evaluation of a trajectory against ground truth (the
+    reference defers this to the external `evo` package; built in here)."""
+    import numpy as np
+
+    from lvio_fusion_tpu.utils.trajectory import (
+        ate_rmse, read_tum, rpe_translation,
+    )
+
+    t_est, p_est = read_tum(args.traj)
+    t_gt, p_gt = read_tum(args.gt)
+    # associate by nearest timestamps
+    idx = np.searchsorted(t_gt, t_est)
+    idx = np.clip(idx, 0, len(t_gt) - 1)
+    keep = np.abs(t_gt[idx] - t_est) < args.t_tol
+    est_xyz = p_est[keep][:, 4:]
+    gt_xyz = p_gt[idx[keep]][:, 4:]
+    ate = ate_rmse(est_xyz, gt_xyz, align=not args.no_align)
+    rpe = rpe_translation(est_xyz, gt_xyz)
+    print(f"matched {keep.sum()}/{len(t_est)} poses  "
+          f"ATE RMSE {ate:.4f} m  RPE(t) {rpe:.4f} m")
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(8, 8))
+        ax.plot(gt_xyz[:, 0], gt_xyz[:, 2], "k--", label="ground truth")
+        ax.plot(est_xyz[:, 0], est_xyz[:, 2], "b-", label="estimate")
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("z [m]")
+        ax.axis("equal")
+        ax.legend()
+        ax.set_title(f"ATE {ate:.3f} m")
+        fig.savefig(args.plot, dpi=120, bbox_inches="tight")
+        print(f"plot -> {args.plot}")
+
+
 def main(argv=None):
     # honor JAX_PLATFORMS even when a sitecustomize force-registered a
     # different backend via jax.config.update
@@ -165,6 +202,14 @@ def main(argv=None):
     t.add_argument("--steps", type=int, default=40)
     t.add_argument("--out", default="td3.pkl")
     t.set_defaults(fn=cmd_train_rl)
+
+    e = sub.add_parser("eval", help="ATE/RPE vs ground truth (+plot)")
+    e.add_argument("traj")
+    e.add_argument("gt")
+    e.add_argument("--t-tol", type=float, default=0.05)
+    e.add_argument("--no-align", action="store_true")
+    e.add_argument("--plot", default="", help="save a trajectory PNG")
+    e.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
     args.fn(args)
