@@ -71,6 +71,8 @@ class EstimatorConfig:
     use_loop: bool = False
     loop_threshold: float = 10.0
     loop_min_elapsed: float = 30.0
+    relocator_mode: int = 2  # reference relocator_mode: 1 visual, 2 lidar,
+    # 3 visual+lidar
     global_every_kfs: int = 5  # cadence of the global stage (the
     # reference's 2s GlobalLoop timer, expressed in keyframes)
     # IMU noise densities (reference kitti.yaml imu parameters)
@@ -180,12 +182,18 @@ class Estimator:
             from lvio_fusion_tpu.navsat.navsat import Navsat
             self.navsat = Navsat(accuracy=c.navsat_accuracy)
         self.relocator = None
-        if c.use_loop and c.use_lidar:
+        mode = c.relocator_mode & (1 | (2 if c.use_lidar else 0))
+        if c.use_loop and mode:
             from lvio_fusion_tpu.loop.relocator import Relocator
             self.relocator = Relocator(
-                self.lidar_mapping, threshold=c.loop_threshold,
+                self.lidar_mapping if c.use_lidar else None,
+                threshold=c.loop_threshold,
                 min_elapsed=c.loop_min_elapsed, up_axis=c.lidar_up_axis,
-                resolution=c.resolution)
+                resolution=c.resolution, mode=mode)
+            self.relocator._cam = cam_left
+            if mode & 1:
+                from lvio_fusion_tpu.ops.descriptors import brief_descriptors
+                self._brief = jax.jit(brief_descriptors)
         self._navsat_sections_done = 0
         # adaptive factor weighting (reference Agent::SetCore; weights are
         # produced by the TD3 actor at keyframe creation)
@@ -566,6 +574,17 @@ class Estimator:
         if self.agent is not None:
             obs = self._kf_observation(kf_idx)
             self.map.kf_weights[kf_idx] = self.agent.update_weights(obs)
+
+        if (self.relocator is not None and self.relocator.mode & 1):
+            # BRIEF descriptors on the tracked features for visual
+            # relocation (local_map.cpp mat2brief)
+            desc, ok = self._brief(pyr_left[0],
+                                   jnp.asarray(self.feat_px),
+                                   jnp.asarray(self.feat_valid))
+            self.map.kf_desc[kf_idx] = {
+                "desc": np.asarray(desc), "ok": np.asarray(ok),
+                "px": self.feat_px.copy(), "lm": self.feat_lm.copy(),
+            }
 
         if self.cfg.use_imu:
             self._attach_kf_preintegration(kf_idx)

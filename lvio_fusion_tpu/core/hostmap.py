@@ -26,6 +26,7 @@ class HostMap:
         self.kf_good_imu: List[bool] = []
         self.kf_preint: List[object] = []  # Preintegration from prev kf (or None)
         self.kf_lidar: List[object] = []   # body-frame feature clouds (or None)
+        self.kf_desc: List[object] = []    # BRIEF descriptors (or None)
 
         # landmarks (anchored at a keyframe's right camera)
         self.lm_anchor: List[int] = []        # kf index
@@ -62,6 +63,7 @@ class HostMap:
         self.kf_good_imu.append(bool(good_imu))
         self.kf_preint.append(None)
         self.kf_lidar.append(None)
+        self.kf_desc.append(None)
         self.obs_lm.append(np.zeros(0, np.int64))
         self.obs_px.append(np.zeros((0, 2), np.float32))
         self.obs_ok.append(np.zeros(0, bool))

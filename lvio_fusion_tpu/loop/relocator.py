@@ -33,16 +33,20 @@ from lvio_fusion_tpu.lidar.mapping import knn3_planes, make_scan_to_map
 
 
 class Relocator:
-    def __init__(self, lidar_mapping, threshold: float = 10.0,
+    def __init__(self, lidar_mapping=None, threshold: float = 10.0,
                  min_elapsed: float = 30.0, score_thresh: float = 0.5,
-                 up_axis: str = "z", resolution: float = 0.2):
+                 up_axis: str = "z", resolution: float = 0.2,
+                 mode: int = 2):
+        """mode: reference relocator_mode — 1 visual, 2 lidar, 3 both."""
         self.mapping = lidar_mapping
         self.threshold = threshold
         self.min_elapsed = min_elapsed
         self.score_thresh = score_thresh
         self.resolution = resolution
-        self._refine = make_scan_to_map(iters=4, resolution=resolution,
-                                        up_axis=up_axis)
+        self.mode = mode
+        if lidar_mapping is not None:
+            self._refine = make_scan_to_map(iters=4, resolution=resolution,
+                                            up_axis=up_axis)
         # pending loop state (DetectorLoop statics)
         self._pending: Dict[int, int] = {}  # new kf -> old kf
 
@@ -62,13 +66,67 @@ class Relocator:
             return int(idx[0])
         return None
 
-    # ---------------- relocation (lidar) ----------------
+    # ---------------- relocation ----------------
 
     def relocate(self, m, kf_idx: int, old_idx: int):
+        """Relocate a keyframe against its old counterpart. Visual
+        (descriptor PnP) provides the initial alignment when enabled;
+        lidar scan-to-map refines/scores (Relocator::Relocate,
+        relocator.cpp:135-184). Returns (pose, score) or None."""
+        out = None
+        if self.mode & 1:
+            out = self.relocate_visual(m, kf_idx, old_idx)
+        if self.mode & 2:
+            init = out[0] if out is not None else None
+            lidar_out = self.relocate_lidar(m, kf_idx, old_idx, init)
+            if lidar_out is not None:
+                out = lidar_out
+        return out
+
+    def relocate_visual(self, m, kf_idx: int, old_idx: int):
+        """BRIEF match against the old keyframe + pose-only PnP
+        (the reference's RelocateByPoints visual mode)."""
+        import jax.numpy as jnp
+
+        from lvio_fusion_tpu.core.frontend import pose_only_refine
+        from lvio_fusion_tpu.ops.descriptors import match as dmatch
+
+        dc = m.kf_desc[kf_idx]
+        do = m.kf_desc[old_idx]
+        if dc is None or do is None or self._cam is None:
+            return None
+        idx, good = dmatch(jnp.asarray(dc["desc"]), jnp.asarray(dc["ok"]),
+                           jnp.asarray(do["desc"]), jnp.asarray(do["ok"]))
+        good_np = np.asarray(good)
+        if good_np.sum() < 10:
+            return None
+        idx_np = np.asarray(idx)
+        # matched: current pixel <-> old landmark world position
+        n = len(good_np)
+        pw = np.zeros((n, 3), np.float32)
+        old_lm = do["lm"]
+        for i in np.where(good_np)[0]:
+            li = old_lm[idx_np[i]]
+            if li < 0:
+                good_np[i] = False
+            else:
+                pw[i] = m.lm_world[li]
+        if good_np.sum() < 10:
+            return None
+        pose, inliers = pose_only_refine(
+            jnp.asarray(m.kf_pose[old_idx]), jnp.asarray(pw),
+            jnp.asarray(dc["px"]), jnp.asarray(good_np),
+            self._cam, iters=8)
+        score = float(np.asarray(inliers).sum()) / max(int(good_np.sum()), 1)
+        return np.asarray(pose), score
+
+    _cam = None  # left camera model, set by the estimator for visual mode
+
+    def relocate_lidar(self, m, kf_idx: int, old_idx: int, init_pose=None):
         """Scan-to-map align kf against the old frame's neighborhood.
         Returns (pose, score) or None."""
         f = m.kf_lidar[kf_idx]
-        if f is None:
+        if f is None or self.mapping is None:
             return None
         wm = self.mapping
         # local map: old frame +- 2 neighbors' world clouds
@@ -87,7 +145,8 @@ class Relocator:
         s = jnp.asarray(f["surf"])
         sv = jnp.asarray(f["surf_valid"])
 
-        pose = jnp.asarray(m.kf_pose[kf_idx])
+        pose = jnp.asarray(m.kf_pose[kf_idx] if init_pose is None
+                           else init_pose)
         # coarse-to-fine alternating rounds (mapping.cpp Relocate: 4 rounds;
         # the first rounds need a loose gate to capture the loop drift)
         for scale in (max(self.threshold, 4.0) ** 2, 4.0, 1.0):

@@ -1,0 +1,93 @@
+"""BRIEF binary descriptors + Hamming matching.
+
+TPU-native equivalent of the reference's ORB/BRIEF machinery
+(extractor.cpp descriptor stage + local_map.cpp mat2brief / Hamming kNN
+matching): 256 pairwise intensity tests on the blurred image around each
+keypoint, bit-packed into 8 uint32 words; matching is a broadcasted
+XOR + SWAR popcount, with the same ratio/abs-distance gates
+(local_map.cpp Search: ratio 0.8, dist < 50).
+
+Rotation invariance (ORB's intensity-centroid steering) is intentionally
+omitted: descriptors are only used for loop-closure relocation between
+same-heading revisits (upright vehicle), where unsteered BRIEF holds up.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvio_fusion_tpu.ops.image import bilinear_sample, gaussian_blur5
+
+N_BITS = 256
+N_WORDS = N_BITS // 32
+PATCH = 31
+
+
+@functools.lru_cache()
+def _pattern():
+    """Fixed gaussian test pattern (BRIEF-31), seeded for determinism."""
+    rng = np.random.default_rng(1234)
+    p = rng.normal(0.0, PATCH / 5.0, (N_BITS, 2, 2)).clip(
+        -(PATCH // 2), PATCH // 2)
+    return jnp.asarray(p, jnp.float32)  # (256, 2 endpoints, xy)
+
+
+def brief_descriptors(img, pts, valid):
+    """Compute descriptors at pts (N, 2) on a blurred image.
+
+    Returns (desc (N, 8) uint32, ok (N,) bool) — ok requires the whole
+    pattern window inside the image.
+    """
+    H, W = img.shape
+    blurred = gaussian_blur5(gaussian_blur5(img))
+    pat = _pattern()  # (256, 2, 2)
+    # sample both endpoints of every test for every keypoint
+    coords = pts[:, None, None, :] + pat[None, :, :, :]  # (N, 256, 2, 2)
+    vals = bilinear_sample(blurred, coords)  # (N, 256, 2)
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (N, 256)
+    weights = jnp.left_shift(
+        jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+    words = jnp.sum(bits.reshape(-1, N_WORDS, 32) * weights[None, None, :],
+                    axis=-1, dtype=jnp.uint32)
+    half = PATCH // 2 + 2
+    ok = (valid & (pts[:, 0] >= half) & (pts[:, 0] < W - half)
+          & (pts[:, 1] >= half) & (pts[:, 1] < H - half))
+    return words, ok
+
+
+def _popcount32(x):
+    """SWAR popcount on uint32."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (x * jnp.uint32(0x01010101)) >> 24
+
+
+def hamming_matrix(d1, d2):
+    """(N, 8) x (M, 8) uint32 -> (N, M) int32 Hamming distances."""
+    x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
+    return jnp.sum(_popcount32(x), axis=-1).astype(jnp.int32)
+
+
+def match(d1, ok1, d2, ok2, max_dist: int = 50, ratio: float = 0.8):
+    """Mutual-best Hamming matching with ratio + absolute gates.
+
+    Returns (idx2 (N,), good (N,)): for each descriptor in d1, the best
+    match in d2 (or garbage where not good).
+    """
+    dist = hamming_matrix(d1, d2)
+    big = jnp.int32(N_BITS + 1)
+    dist = jnp.where(ok1[:, None] & ok2[None, :], dist, big)
+    best = jnp.argmin(dist, axis=1)
+    dbest = jnp.min(dist, axis=1)
+    # second best for the ratio test
+    masked = dist.at[jnp.arange(dist.shape[0]), best].set(big)
+    dsecond = jnp.min(masked, axis=1)
+    good = (ok1 & (dbest < max_dist)
+            & (dbest.astype(jnp.float32)
+               < ratio * dsecond.astype(jnp.float32)))
+    return best, good

@@ -1,0 +1,42 @@
+"""BRIEF descriptors + Hamming matching on shifted synthetic texture."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lvio_fusion_tpu.ops.descriptors import (
+    brief_descriptors, hamming_matrix, match,
+)
+from test_vision_ops import checker_texture
+
+
+def test_descriptors_match_under_shift():
+    H, W = 128, 192
+    img0 = checker_texture(H + 16, W + 16, seed=3)
+    from lvio_fusion_tpu.ops.image import bilinear_sample
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    dx, dy = 2.0, -1.0
+    img1 = bilinear_sample(img0, jnp.stack(
+        [xx + 8 + dx, yy + 8 + dy], -1).astype(jnp.float32))
+    img0c = img0[8:8 + H, 8:8 + W]
+
+    # spaced grid: nearby random points would legitimately share texture
+    gx, gy = np.meshgrid(np.arange(30, 150, 15), np.arange(30, 100, 15))
+    pts0 = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1)[:40]
+                       .astype(np.float32))
+    pts1 = pts0 - jnp.asarray([dx, dy])  # same physical points in img1
+    v = jnp.ones(40, bool)
+
+    d0, ok0 = brief_descriptors(img0c, pts0, v)
+    d1, ok1 = brief_descriptors(img1, pts1, v)
+    assert bool(ok0.all()) and bool(ok1.all())
+
+    # self-distance near zero, cross-distance large
+    dist = hamming_matrix(d0, d1)
+    diag = jnp.diagonal(dist)
+    assert float(diag.mean()) < 25, diag
+    off = dist + jnp.eye(40, dtype=jnp.int32) * 300
+    assert float(off.min()) > 40, "distinct points too similar"
+
+    idx, good = match(d0, ok0, d1, ok1)
+    correct = (np.asarray(idx) == np.arange(40)) & np.asarray(good)
+    assert correct.mean() > 0.9, correct.mean()
