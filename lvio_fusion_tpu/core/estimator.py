@@ -500,8 +500,12 @@ class Estimator:
 
         need_sync = False
         if n_inliers <= self.cfg.num_features_tracking_bad:
-            # tracking lost: re-init map in place, keep extrapolated pose
-            # (frontend.cpp:129-137)
+            # tracking lost. With an initialized IMU the reference first
+            # disables the IMU and re-initializes later
+            # (frontend.cpp:121-127 ResetImu); then re-init the map in
+            # place keeping the extrapolated pose (frontend.cpp:129-137)
+            if self.imu_initialized:
+                self.imu_initialized = False
             self.status = self.LOST
             pose = (ext_pred if use_ext
                     else np_se3.se3_mul(self.last_pose, self.relative))
@@ -647,10 +651,15 @@ class Estimator:
         from lvio_fusion_tpu.geometry.so3 import quat_mul, quat_rotate
 
         m = self.map
-        # need a contiguous chain of preintegrations over all kfs
-        pres = [m.kf_preint[i] for i in range(1, m.num_kfs)]
-        if any(p is None for p in pres):
+        # use the most recent contiguous preintegration chain (gaps appear
+        # after LOST episodes / IMU resets)
+        end = m.num_kfs
+        start = end - 1
+        while start > 0 and m.kf_preint[start] is not None:
+            start -= 1
+        if end - start < self.cfg.init_kfs:
             return
+        pres = [m.kf_preint[i] for i in range(start + 1, end)]
         pre = jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
             *[{k: v for k, v in p.items()} for p in pres])
@@ -659,7 +668,7 @@ class Estimator:
                              sum_dt=pre["sum_dt"], jac=pre["jac"],
                              cov=pre["cov"], lin_ba=pre["lin_ba"],
                              lin_bg=pre["lin_bg"])
-        poses = jnp.asarray(np.stack(m.kf_pose))
+        poses = jnp.asarray(np.stack(m.kf_pose[start:end]))
         init = inertial_init(poses, pre, jnp.float32(self.cfg.g_norm))
         align = gravity_alignment(init.rwg, self.cfg.g_norm)
 
@@ -669,7 +678,8 @@ class Estimator:
             q = np.asarray(quat_mul(align, jnp.asarray(m.kf_pose[i][:4])))
             t = np.asarray(quat_rotate(align, jnp.asarray(m.kf_pose[i][4:])))
             m.kf_pose[i] = np.concatenate([q, t]).astype(np.float32)
-            m.kf_vel[i] = vels[i]
+            if i >= start:
+                m.kf_vel[i] = vels[i - start]
             m.kf_bias[i] = bias.astype(np.float32)
         # rotate cached landmark world positions
         if m.num_landmarks:
