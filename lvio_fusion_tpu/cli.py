@@ -102,6 +102,9 @@ def cmd_run(args):
     write_tum_csv(args.out, times, poses)
     print(f"{n} frames in {dt:.1f}s ({n / dt:.2f} fps), "
           f"{len(times)} keyframes -> {args.out}")
+    if args.stats:
+        from lvio_fusion_tpu.utils.profiling import TIMERS
+        print(TIMERS.report(), file=sys.stderr)
 
 
 def cmd_train_rl(args):
@@ -190,6 +193,8 @@ def main(argv=None):
     r.add_argument("--imu", action="store_true")
     r.add_argument("--lidar", action="store_true")
     r.add_argument("--out", default="trajectory.csv")
+    r.add_argument("--stats", action="store_true",
+                   help="print per-stage timing (glog-style observability)")
     r.set_defaults(fn=cmd_run)
 
     t = sub.add_parser("train-rl", help="train the TD3 weight policy")

@@ -293,6 +293,11 @@ class Estimator:
         self.navsat.add_point(time, p_enu)
 
     def _run_global_stage(self):
+        from lvio_fusion_tpu.utils.profiling import TIMERS
+        with TIMERS.time("global.stage"):
+            return self._run_global_stage_impl()
+
+    def _run_global_stage_impl(self):
         """Deterministic replacement for the reference's GlobalLoop thread
         (backend.cpp:42-94) + Relocator thread: pose-graph sectioning,
         navsat section optimization + QuickFix, loop detection/correction."""
@@ -349,6 +354,11 @@ class Estimator:
         }
 
     def _run_lidar_mapping(self):
+        from lvio_fusion_tpu.utils.profiling import TIMERS
+        with TIMERS.time("lidar.mapping"):
+            return self._run_lidar_mapping_impl()
+
+    def _run_lidar_mapping_impl(self):
         """Scan-to-map refine keyframes that left the BA window
         (backend.cpp:223-227 Mapping::Optimize on old kfs)."""
         ws = getattr(self.backend, "last_window_start", 0)
@@ -428,6 +438,12 @@ class Estimator:
                     init_pose=None) -> np.ndarray:
         """Process one stereo pair (uint8 or [0,1] float grayscale);
         returns the current pose estimate."""
+        from lvio_fusion_tpu.utils.profiling import TIMERS
+        with TIMERS.time("frontend.frame"):
+            return self._input_image(time, img_left, img_right,
+                                     init_pose)
+
+    def _input_image(self, time, img_left, img_right, init_pose=None):
         img_left = self._to_u8(img_left)
         img_right_u8 = None  # converted lazily (only needed at keyframes)
 
@@ -558,6 +574,13 @@ class Estimator:
 
     def _create_keyframe(self, time, pyr_left, img_right_u8,
                          pose) -> np.ndarray:
+        from lvio_fusion_tpu.utils.profiling import TIMERS
+        with TIMERS.time("backend.keyframe"):
+            return self._create_keyframe_impl(time, pyr_left,
+                                              img_right_u8, pose)
+
+    def _create_keyframe_impl(self, time, pyr_left, img_right_u8,
+                              pose):
         """Persist tracked observations, detect new landmarks, run BA."""
         kf_idx = self.map.add_keyframe(
             time, pose, vel=self.cur_vel, bias=self.cur_bias,
