@@ -38,6 +38,19 @@ class EnvTables:
 
     poses_gt: jnp.ndarray     # (K, 7) ground-truth poses
     poses_prev: jnp.ndarray   # (K, 7) previous-kf gt poses
+    # frozen IMU factor inputs (environment.cpp:45-71: all IMU-side states
+    # held constant; only the current pose varies)
+    imu_dp: jnp.ndarray       # (K, 3)
+    imu_dq: jnp.ndarray       # (K, 4)
+    imu_dv: jnp.ndarray       # (K, 3)
+    imu_dt: jnp.ndarray       # (K,)
+    imu_jac: jnp.ndarray      # (K, 15, 15)
+    imu_sqrt_info: jnp.ndarray  # (K, 15, 15)
+    vel_prev: jnp.ndarray     # (K, 3)
+    vel_cur: jnp.ndarray      # (K, 3)
+    bias_cur: jnp.ndarray     # (K, 6)
+    has_imu: jnp.ndarray      # (K,)
+    g_norm: jnp.ndarray       # scalar
     obs_px: jnp.ndarray       # (K, F, 2) left-cam observations
     obs_world: jnp.ndarray    # (K, F, 3) landmark world positions
     obs_valid: jnp.ndarray    # (K, F)
@@ -59,15 +72,57 @@ class EnvState(NamedTuple):
     key: jnp.ndarray
 
 
+def _imu_pose_residual(tables: EnvTables, kf, pose):
+    """Frozen-IMU 15-dim residual as a function of the current pose only
+    (previous pose/vel/bias and current vel/bias constant)."""
+    from lvio_fusion_tpu.solver.imu_factor import imu_residual
+    J = tables.imu_jac[kf]
+    z = jnp.zeros(15, pose.dtype)
+    return imu_residual(
+        z, jnp.concatenate([jnp.zeros(6, pose.dtype),
+                            jnp.zeros(9, pose.dtype)]),
+        tables.poses_prev[kf], tables.vel_prev[kf], tables.bias_cur[kf],
+        pose, tables.vel_cur[kf], tables.bias_cur[kf],
+        tables.imu_dp[kf], tables.imu_dq[kf], tables.imu_dv[kf],
+        tables.imu_dt[kf],
+        J[0:3, 9:12], J[0:3, 12:15], J[3:6, 12:15],
+        J[6:9, 9:12], J[6:9, 12:15],
+        tables.bias_cur[kf][:3], tables.bias_cur[kf][3:],
+        tables.imu_sqrt_info[kf], tables.g_norm)
+
+
 def _solve_one(tables: EnvTables, kf, weights, cam, up_axis, resolution):
     """Re-optimize one keyframe pose under the given weights."""
     pose0 = tables.poses_prev[kf]  # start from the previous gt pose,
     # perturbed forward: use gt pose as init like the reference (state
     # poses are gt; weights shape the equilibrium)
     init = tables.poses_gt[kf]
-    pose, _ = pose_only_refine(
-        init, tables.obs_world[kf], tables.obs_px[kf],
-        tables.obs_valid[kf], cam, iters=4)
+
+    # visual (weight[0]) + frozen IMU factor, pose-only GN
+    from lvio_fusion_tpu.geometry.se3 import se3_boxplus
+
+    def residual(xi, pose):
+        T = se3_boxplus(pose, xi)
+        pred = jax.vmap(lambda p: cam.world2pixel(p, T))(
+            tables.obs_world[kf])
+        rv = ((pred - tables.obs_px[kf])
+              * tables.obs_valid[kf][:, None] * weights[0]).reshape(-1)
+        ri = _imu_pose_residual(tables, kf, T) \
+            * tables.has_imu[kf].astype(pose.dtype)
+        return jnp.concatenate([rv, ri])
+
+    def gn(pose, _):
+        z = jnp.zeros(6, pose.dtype)
+        r = residual(z, pose)
+        Jm = jax.jacfwd(residual)(z, pose)
+        H = Jm.T @ Jm + 1e-4 * jnp.eye(6, dtype=pose.dtype)
+        d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-10))
+        dx = jnp.linalg.solve(H / d[:, None] / d[None, :],
+                              -(Jm.T @ r) / d) / d
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        return se3_boxplus(pose, dx), None
+
+    pose, _ = jax.lax.scan(gn, init, None, length=4)
     # weight-blend: the visual weight scales how much we trust the visual
     # solution (Huber-solved); then lidar stages with their own weights
     g_mask, s_mask = dof_masks(up_axis)
@@ -170,6 +225,31 @@ def tables_from_map(m, gt_times, gt_poses, cam_right, caps=None,
     poses_gt = np.stack([gt_at(t) for t in m.kf_time]).astype(np.float32)
     poses_prev = np.concatenate([poses_gt[:1], poses_gt[:-1]])
 
+    # frozen IMU factor tables
+    from lvio_fusion_tpu.models.sensors import GRAVITY
+    from lvio_fusion_tpu.solver.imu_factor import sqrt_info_from_cov
+    imu_dp = np.zeros((K, 3), np.float32)
+    imu_dq = np.zeros((K, 4), np.float32)
+    imu_dq[:, 0] = 1.0
+    imu_dv = np.zeros((K, 3), np.float32)
+    imu_dt = np.ones((K,), np.float32)
+    imu_jac = np.tile(np.eye(15, dtype=np.float32), (K, 1, 1))
+    imu_si = np.tile(np.eye(15, dtype=np.float32), (K, 1, 1))
+    has_imu = np.zeros(K, bool)
+    for k in range(K):
+        p = m.kf_preint[k]
+        if p is None or k == 0:
+            continue
+        imu_dp[k], imu_dq[k], imu_dv[k] = p["dp"], p["dq"], p["dv"]
+        imu_dt[k], imu_jac[k] = p["sum_dt"], p["jac"]
+        imu_si[k] = np.asarray(sqrt_info_from_cov(jnp.asarray(p["cov"])))
+        has_imu[k] = True
+    vel_prev = np.concatenate([np.zeros((1, 3), np.float32),
+                               np.stack(m.kf_vel[:-1])]) \
+        if K > 1 else np.zeros((K, 3), np.float32)
+    vel_cur = np.stack(m.kf_vel).astype(np.float32)
+    bias_cur = np.stack(m.kf_bias).astype(np.float32)
+
     obs_px = np.zeros((K, F, 2), np.float32)
     obs_world = np.zeros((K, F, 3), np.float32)
     obs_valid = np.zeros((K, F), bool)
@@ -227,6 +307,12 @@ def tables_from_map(m, gt_times, gt_poses, cam_right, caps=None,
 
     return EnvTables(
         poses_gt=jnp.asarray(poses_gt), poses_prev=jnp.asarray(poses_prev),
+        imu_dp=jnp.asarray(imu_dp), imu_dq=jnp.asarray(imu_dq),
+        imu_dv=jnp.asarray(imu_dv), imu_dt=jnp.asarray(imu_dt),
+        imu_jac=jnp.asarray(imu_jac), imu_sqrt_info=jnp.asarray(imu_si),
+        vel_prev=jnp.asarray(vel_prev), vel_cur=jnp.asarray(vel_cur),
+        bias_cur=jnp.asarray(bias_cur), has_imu=jnp.asarray(has_imu),
+        g_norm=jnp.float32(GRAVITY),
         obs_px=jnp.asarray(obs_px), obs_world=jnp.asarray(obs_world),
         obs_valid=jnp.asarray(obs_valid), obs_grid=jnp.asarray(obs_grid),
         ground=jnp.asarray(ground), ground_valid=jnp.asarray(ground_valid),
