@@ -86,7 +86,6 @@ def make_sharded_window_ba(cam_left, cam_right, mesh: Mesh,
                       jax.tree.map(lambda _: rep, pt)),
             out_specs=jax.tree.map(lambda _: rep,
                                    BlockSystem(0, 0, 0, 0, 0, 0)),
-            check_rep=False,
         )(params, vt, pt)
         return pin_invalid(sys, p_valid, l_valid)
 
