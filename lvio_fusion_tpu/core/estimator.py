@@ -84,6 +84,8 @@ class EstimatorConfig:
     init_kfs: int = 10          # kfs needed before VI initialization
     imu_buf: int = 512          # max IMU samples per keyframe interval
     imu_frame_buf: int = 64     # max IMU samples per frame interval
+    undistort: bool = False     # undistort raw images before the pipeline
+    # (reference 'undistort' yaml flag; cameras' k1/k2/p1/p2 must be set)
 
 
 class Estimator:
@@ -173,6 +175,25 @@ class Estimator:
                 return jax.vmap(lambda p: se3_apply(ext, p))(pts)
 
             self._lidar_to_robot = _to_robot
+
+        # image undistortion (reference estimator.cpp undistort maps)
+        self._undistort = None
+        if c.undistort:
+            from lvio_fusion_tpu.ops.image import (
+                make_undistort_map, undistort_image,
+            )
+            maps = (make_undistort_map(cam_left, c.height, c.width),
+                    make_undistort_map(cam_right, c.height, c.width))
+
+            @jax.jit
+            def _und(img_u8, which):
+                img = img_u8.astype(jnp.float32)
+                out = jnp.where(which == 0,
+                                undistort_image(img, maps[0]),
+                                undistort_image(img, maps[1]))
+                return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+            self._undistort = _und
 
         # global stage: pose graph + navsat + loop closure
         from lvio_fusion_tpu.loop.pose_graph import PoseGraph
@@ -445,6 +466,11 @@ class Estimator:
 
     def _input_image(self, time, img_left, img_right, init_pose=None):
         img_left = self._to_u8(img_left)
+        if self._undistort is not None:
+            img_left = np.asarray(self._undistort(jnp.asarray(img_left),
+                                                  jnp.int32(0)))
+            img_right = np.asarray(self._undistort(
+                jnp.asarray(self._to_u8(img_right)), jnp.int32(1)))
         img_right_u8 = None  # converted lazily (only needed at keyframes)
 
         if self.status == self.BUILDING:

@@ -162,6 +162,28 @@ def in_bounds(xy, H: int, W: int, margin: float = 1.0):
             & (xy[..., 1] >= margin) & (xy[..., 1] <= H - 1 - margin))
 
 
+def make_undistort_map(cam, H: int, W: int):
+    """Precompute the undistortion remap grid for a camera with
+    radial-tangential distortion (cv::undistort semantics,
+    reference estimator.cpp undistort maps).
+
+    Returns (H, W, 2) [x, y] source coordinates: the undistorted image at
+    pixel p samples the raw image at map[p]."""
+    yy = jnp.arange(H, dtype=jnp.float32)
+    xx = jnp.arange(W, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xx, yy)
+    f = jnp.stack([cam.fx, cam.fy])
+    c = jnp.stack([cam.cx, cam.cy])
+    norm = (jnp.stack([gx, gy], -1) - c) / f
+    dist = cam.distort(norm)
+    return dist * f + c
+
+
+def undistort_image(img, umap):
+    """Apply a precomputed undistortion map (bilinear)."""
+    return bilinear_sample(img, umap)
+
+
 def pad_to_multiple(img, mult: int):
     """Pad H, W up to a multiple (edge mode) so pyramids divide evenly."""
     H, W = img.shape
