@@ -743,6 +743,25 @@ class Estimator:
         self.cur_vel = np.asarray(
             quat_rotate(align, jnp.asarray(self.cur_vel))).astype(np.float32)
         self.cur_bias = bias.astype(np.float32)
+
+        # keep the other subsystems consistent with the rotated map:
+        align_np = np.concatenate([np.asarray(align),
+                                   np.zeros(3)]).astype(np.float32)
+        if self.navsat is not None and self.navsat.initialized:
+            # ENU->map extrinsic must follow the map rotation
+            from lvio_fusion_tpu.utils import np_se3
+            self.navsat.extrinsic = np_se3.se3_mul(align_np,
+                                                   self.navsat.extrinsic)
+        if self.cfg.use_lidar:
+            # the world is gravity-aligned (z up) from here on: switch the
+            # DoF split and re-render stale world clouds
+            self.lidar_mapping.set_up_axis("z")
+            if self.relocator is not None and self.relocator.mapping is not None:
+                from lvio_fusion_tpu.lidar.mapping import make_scan_to_map
+                self.relocator._refine = make_scan_to_map(
+                    iters=4, resolution=self.cfg.resolution, up_axis="z")
+            for i in list(self.lidar_mapping.world_ground):
+                self.lidar_mapping.to_world(m, i)
         self.imu_initialized = True
 
     def _insert_new_landmarks(self, kf_idx, kf, valid):

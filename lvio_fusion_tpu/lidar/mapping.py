@@ -149,10 +149,20 @@ class LidarMapping:
         self.resolution = resolution
         self.num_map_kfs = num_map_kfs
         self.map_cap = map_cap
+        self.iters = iters
+        self.up_axis = up_axis
         self.refine_fn = make_scan_to_map(iters, resolution, up_axis)
         # world-frame feature clouds per keyframe index
         self.world_ground = {}
         self.world_surf = {}
+
+    def set_up_axis(self, up_axis: str):
+        """Switch the DoF-split vertical axis (e.g. 'y' -> 'z' after the
+        VI initializer gravity-aligns the map). Recompiles once."""
+        if up_axis != self.up_axis:
+            self.up_axis = up_axis
+            self.refine_fn = make_scan_to_map(self.iters, self.resolution,
+                                              up_axis)
 
     def to_world(self, m, kf_idx):
         """(Re-)render this kf's feature clouds into world frame
