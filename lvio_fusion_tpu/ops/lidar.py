@@ -93,13 +93,13 @@ def remove_ground(rimg, pimg, valid, ground_rows: int,
     return ground & valid
 
 
-def _connectivity(rimg, valid, theta_deg: float = 60.0):
+def _connectivity(rimg, valid, theta_deg: float = 60.0,
+                  ang_res_y: float = 0.427):
     """Edge masks to the previous element along rows/cols using the
     angle criterion atan2(d2 sin a, d1 - d2 cos a) > theta."""
     R, C = rimg.shape
     ar_x = jnp.radians(360.0 / C)
-    ar_y = jnp.radians(0.427)  # vertical resolution: criterion is weakly
-    # sensitive to the exact value; reference uses ang_res_y
+    ar_y = jnp.radians(ang_res_y)
 
     def edge(a, b, alpha):
         d1 = jnp.maximum(a, b)
@@ -143,21 +143,48 @@ def _segmented_min_scan(labels, connected, axis, reverse=False):
 
 
 def segment(rimg, valid, ground, min_px: int = 30, min_px_lines: int = 5,
-            min_lines: int = 3, sweeps: int = 4, theta_deg: float = 60.0):
+            min_lines: int = 3, sweeps: int = 4, theta_deg: float = 60.0,
+            ang_res_y: float = 0.427):
     """Connected-component labeling + validity filtering."""
     R, C = rimg.shape
-    eh, ev = _connectivity(rimg, valid, theta_deg)
+    eh, ev = _connectivity(rimg, valid, theta_deg, ang_res_y)
     fluid = valid & ~ground  # pixels to label
     eh = eh & fluid & jnp.roll(fluid, 1, axis=1).at[:, 0].set(False)
     ev = ev & fluid & jnp.roll(fluid, 1, axis=0).at[0, :].set(False)
 
     lab = jnp.arange(R * C, dtype=jnp.int32).reshape(R, C)
     lab = jnp.where(fluid, lab, jnp.int32(R * C))
+
+    # horizontal seam connectivity (col C-1 <-> col 0): the reference's BFS
+    # wraps columns (projection.cpp:257-259); with scan-based labeling we
+    # merge seam-connected components explicitly after each sweep round
+    ar_x = jnp.radians(360.0 / C)
+    d1s = jnp.maximum(rimg[:, -1], rimg[:, 0])
+    d2s = jnp.minimum(rimg[:, -1], rimg[:, 0])
+    seam_ang = jnp.arctan2(d2s * jnp.sin(ar_x), d1s - d2s * jnp.cos(ar_x))
+    seam = ((seam_ang > jnp.radians(theta_deg))
+            & fluid[:, -1] & fluid[:, 0])
+
+    def merge_seam(lab):
+        a = lab[:, -1]
+        b = lab[:, 0]
+        lo = jnp.where(seam, jnp.minimum(a, b), jnp.int32(R * C))
+        hi_a = jnp.where(seam & (a > b), a, jnp.int32(R * C))
+        hi_b = jnp.where(seam & (b > a), b, jnp.int32(R * C))
+        # remap the larger label of each connected seam pair to the smaller
+        remap = jnp.arange(R * C + 1, dtype=jnp.int32)
+        remap = remap.at[hi_a].min(lo)
+        remap = remap.at[hi_b].min(lo)
+        for _ in range(3):  # path compression for short chains
+            remap = remap[remap]
+        return remap[lab]
+
     for _ in range(sweeps):
         lab = _segmented_min_scan(lab, eh, axis=1)
         lab = _segmented_min_scan(lab, eh, axis=1, reverse=True)
         lab = _segmented_min_scan(lab, ev, axis=0)
         lab = _segmented_min_scan(lab, ev, axis=0, reverse=True)
+        lab = merge_seam(lab)
 
     flat = lab.reshape(-1)
     ones = fluid.reshape(-1).astype(jnp.int32)
@@ -272,7 +299,7 @@ def make_feature_extractor(num_scans: int, horizon_scan: int,
         rimg, pimg, valid = project(points, mask, num_scans, horizon_scan,
                                     ang_res_y, ang_bottom)
         ground = remove_ground(rimg, pimg, valid, ground_rows)
-        lab, seg_ok = segment(rimg, valid, ground)
+        lab, seg_ok = segment(rimg, valid, ground, ang_res_y=ang_res_y)
         rel = relative_time(pimg, valid)
 
         curv = curvature(rimg, seg_ok | ground)

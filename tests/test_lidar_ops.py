@@ -37,16 +37,17 @@ def synth_scan(seed=0, sensor_h=1.8):
                 if 1.0 < t < 40.0:
                     t_hit, kind = t, 0
             for (bx, by, half, hgt) in boxes:
-                # crude ray-box: sample along the ray
-                tb = np.linspace(1.0, 30.0, 200)
-                p = tb[:, None] * d[None, :]
-                inside = ((np.abs(p[:, 0] - bx) < half)
-                          & (np.abs(p[:, 1] - by) < half)
-                          & (p[:, 2] > -sensor_h) & (p[:, 2] < -sensor_h + hgt))
-                if inside.any():
-                    t = tb[inside.argmax()]
-                    if t < t_hit:
-                        t_hit, kind = t, 1
+                # exact ray-box (slab method): quantized ranges would
+                # artificially break the angle-based connectivity
+                lo = np.array([bx - half, by - half, -sensor_h])
+                hi = np.array([bx + half, by + half, -sensor_h + hgt])
+                with np.errstate(divide="ignore"):
+                    t1 = (lo - 0.0) / d
+                    t2 = (hi - 0.0) / d
+                tmin = np.minimum(t1, t2).max()
+                tmax = np.maximum(t1, t2).min()
+                if tmax > tmin > 0.5 and tmin < t_hit:
+                    t_hit, kind = tmin, 1
             if np.isfinite(t_hit):
                 pts.append(t_hit * d)
                 kinds.append(kind)
@@ -76,7 +77,7 @@ def test_segmentation_separates_boxes():
     rimg, pimg, valid = project(pts, mask, R_SCANS, C_SCAN, ANG_RES_Y,
                                 ANG_BOTTOM)
     ground = remove_ground(rimg, pimg, valid, GROUND_ROWS)
-    lab, ok = segment(rimg, valid, ground, min_px=10)
+    lab, ok = segment(rimg, valid, ground, min_px=10, ang_res_y=ANG_RES_Y)
     labs = np.asarray(lab[ok])
     xy = np.asarray(pimg[ok])[:, :2]
     uniq = np.unique(labs)
@@ -119,3 +120,18 @@ def test_full_feature_extractor():
     # surf features should lie on box walls (|z| above ground, near boxes)
     s = np.asarray(f.surf[np.asarray(f.surf_valid)])
     assert (s[:, 2] > -1.6).mean() > 0.8
+
+
+def test_segmentation_wraps_azimuth_seam():
+    """A box straddling the azimuth seam (behind the sensor) must get ONE
+    label, not two."""
+    pts, kinds = synth_scan()
+    mask = jnp.ones(pts.shape[0], bool)
+    rimg, pimg, valid = project(pts, mask, R_SCANS, C_SCAN, ANG_RES_Y,
+                                ANG_BOTTOM)
+    ground = remove_ground(rimg, pimg, valid, GROUND_ROWS)
+    lab, ok = segment(rimg, valid, ground, min_px=10, ang_res_y=ANG_RES_Y)
+    # the x=-7 box (behind: azimuth ~ +-180 deg) straddles the seam
+    sel = np.asarray(ok) & (np.asarray(pimg[..., 0]) < -5.0)
+    labs = np.unique(np.asarray(lab)[sel])
+    assert len(labs) == 1, f"seam box split into labels {labs}"
