@@ -136,12 +136,16 @@ class Navsat:
                 jnp.asarray(valid))
 
     def optimize_bc(self, m, pose_graph, frame_idx: int, end_idx: int,
-                    free_mask, iters: int = 6):
+                    free_mask, iters: int = 6, section_degree: float = 0.0):
         """Align the pose of ``frame_idx`` (DoF subset) so the trajectory
         [frame, end] matches the GPS track; rigid forward-update follows.
 
         free_mask: 6-bools over [roll, pitch, yaw, x, y, z] rpyxyz DoF
         (reference mode bitmask, inverted: True = optimize).
+        section_degree: accumulated turn degree of the section — bounds the
+        vertical correction like the reference's z parameter bounds
+        (navsat.cpp:244-248, dz = trust_distance_z * degree / 360): for a
+        straight section GPS altitude noise must not bend the map.
         """
         base, rel_p, fixp, valid = self._bc_tables(m, frame_idx, end_idx)
         if int(valid.sum()) < 3:
@@ -161,10 +165,14 @@ class Navsat:
             return
         mask = jnp.asarray(free.astype(np.float32))
 
+        # z correction bounded by the section's turn degree (soft prior:
+        # straight sections resist altitude bending)
+        dz_trust = self.trust_z * max(section_degree, 1.0) / 360.0
+        z_prior_w = 1.0 / max(dz_trust, 1e-3) if free[5] else 0.0
         old_pose = np.asarray(base)
         new_pose = np.asarray(_bc_solve(base, rel_p, fixp,
                                         valid.astype(jnp.float32), mask,
-                                        iters))
+                                        jnp.float32(z_prior_w), iters))
         m.kf_pose[frame_idx] = new_pose.astype(np.float32)
         from lvio_fusion_tpu.utils import np_se3
         transform = np_se3.se3_mul(new_pose, np_se3.se3_inv(old_pose))
@@ -173,7 +181,7 @@ class Navsat:
     def optimize_section(self, m, pose_graph, section):
         """Full section refinement (Navsat::Optimize)."""
         self.optimize_bc(m, pose_graph, section.B, section.C,
-                         [True] * 6)
+                         [True] * 6, section_degree=section.degree)
         if section.A != section.B:
             self.optimize_ab(m, section)
         for i in range(section.B + 1, section.C):
@@ -219,22 +227,26 @@ class Navsat:
         dist = np.linalg.norm(m.kf_pose[end_idx][4:] - m.kf_pose[B][4:])
         if dist < self.trust_yaw:
             return
-        self.optimize_bc(m, pose_graph, B, end_idx, [True] * 6)
+        self.optimize_bc(m, pose_graph, B, end_idx, [True] * 6,
+                         section_degree=pose_graph.current.degree)
 
 
 from functools import partial
 
 
 @partial(jax.jit, static_argnames=("iters",))
-def _bc_solve(base_pose, rel_p, fixp, valid, dof_mask, iters: int = 6):
+def _bc_solve(base_pose, rel_p, fixp, valid, dof_mask, z_prior_w=0.0,
+              iters: int = 6):
     """GN over rpyxyz increments of one frame: min sum || (T(base) *
-    T(rpyxyz)) rel_p - fix ||^2 with Huber."""
+    T(rpyxyz)) rel_p - fix ||^2 with Huber (+ soft zero-prior on the z
+    increment scaled by the turn-degree trust)."""
 
     def residual(para, w):
         T = se3_mul(base_pose, rpyxyz_to_se3(para * dof_mask))
         pred = jax.vmap(lambda p: se3_apply(T, p))(rel_p)
         r = (pred - fixp) * w[:, None]
-        return r.reshape(-1)
+        return jnp.concatenate([r.reshape(-1),
+                                (z_prior_w * para[5])[None]])
 
     def gn(para, _):
         pred = jax.vmap(lambda p: se3_apply(
