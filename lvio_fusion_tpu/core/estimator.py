@@ -108,6 +108,7 @@ class Estimator:
         self.frame_step = fns.frame_step
         self.keyframe_step = fns.keyframe_step
         self.frame_step_chained = fns.frame_step_chained
+        self.level0 = fns.level0
         self.backend = Backend(
             cam_left, cam_right,
             caps=WindowCaps(K=c.window_kfs, L=c.landmark_slots,
@@ -631,7 +632,7 @@ class Estimator:
         if (self.relocator is not None and self.relocator.mode & 1):
             # BRIEF descriptors on the tracked features for visual
             # relocation (local_map.cpp mat2brief)
-            desc, ok = self._brief(pyr_left[0],
+            desc, ok = self._brief(self.level0(pyr_left),
                                    jnp.asarray(self.feat_px),
                                    jnp.asarray(self.feat_valid))
             self.map.kf_desc[kf_idx] = {

@@ -75,6 +75,10 @@ class FrontendFns(NamedTuple):
     frame_step: object     # fused: pyramid + track + refine (1 dispatch)
     keyframe_step: object  # fused: right pyramid + detect + triangulate
     frame_step_chained: object  # device-resident state chaining
+    level0: object         # unpadded full-res level of a chained pyramid
+    make_batch_step: object     # B frames in ONE dispatch (host batching)
+    keyframe_step_at: object    # keyframe stage on one frame of a batch
+    slice_pyr: object           # extract frame i's pyramid from a batch
 
 
 def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
@@ -134,6 +138,10 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         img = pad_to_multiple(img.astype(jnp.float32) * (1.0 / 255.0),
                               pad_mult)
         return build_pyramid(img, levels)
+
+    def _level0(pyr):
+        """Full-resolution level of a chained pyramid."""
+        return pyr[0]
 
     @jax.jit
     def preprocess(img_u8):
@@ -205,7 +213,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     def make_keyframe(pyr_left, pyr_right, cur_px, cur_valid, kf_pose):
         """Detect fresh corners where no feature lives, stereo-match them
         left->right, triangulate, return inverse-depth landmarks."""
-        img = pyr_left[0]
+        img = _level0(pyr_left)
         mask = occupancy_mask(img.shape, cur_px, cur_valid, occupy_radius)
         new_px, _, det_valid = detect_grid(img, num_features, cell, mask)
 
@@ -247,6 +255,71 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             r.new_px_left, r.new_px_right, r.inv_depth[:, None], r.world,
             r.valid.astype(jnp.float32)[:, None]], axis=1)
 
+    _batch_steps = {}
+
+    def make_batch_step(B: int):
+        """Jitted B-frame tracking step: ONE stacked image upload, ONE
+        dispatch, ONE packed fetch for B consecutive frames. Host-side
+        transfers through the TPU tunnel carry a large fixed cost per
+        call (~30-45 ms regardless of payload), so amortizing it over B
+        frames is the single biggest throughput lever (CLAUDE.md round-2
+        priority 1c; matches the reference's never-blocking async backend,
+        backend.cpp:28-40 — keyframe decisions lag by at most B-1 frames).
+
+        Returns (pyrs_stacked, pyr_last, feat_px', feat_valid', pose',
+        relative', packed (B, N*3+8)). pyrs_stacked holds every frame's
+        pyramid (per level: (B, Hl, Wl)) so a keyframe decision at any
+        batch position can run detection on the right image content.
+        """
+        if B in _batch_steps:
+            return _batch_steps[B]
+
+        @jax.jit
+        def batch_step(imgs_u8, pyr_last, feat_px, feat_valid, lm_world,
+                       pose, relative, ext_preds, use_ext):
+            packed_rows = []
+            pyr_levels = [[] for _ in range(levels)]
+            for b in range(B):
+                pyr_cur = _pyramid(imgs_u8[b])
+                pose_pred = jnp.where(use_ext[b], ext_preds[b],
+                                      se3_mul(pose, relative))
+                r = _track(pyr_last, pyr_cur, feat_px, feat_valid,
+                           lm_world, pose_pred)
+                relative = se3_mul(se3_inv(pose), r.pose)
+                pose = r.pose
+                feat_px, feat_valid = r.pts, r.ok
+                packed_rows.append(jnp.concatenate([
+                    r.pts.reshape(-1), r.ok.astype(jnp.float32), r.pose,
+                    r.num_inliers.astype(jnp.float32)[None]]))
+                for lvl in range(levels):
+                    pyr_levels[lvl].append(pyr_cur[lvl])
+                pyr_last = pyr_cur
+            pyrs = [jnp.stack(ls) for ls in pyr_levels]
+            return (pyrs, pyr_last, feat_px, feat_valid, pose, relative,
+                    jnp.stack(packed_rows))
+
+        _batch_steps[B] = batch_step
+        return batch_step
+
+    @jax.jit
+    def slice_pyr(pyrs_stacked, i):
+        """Pyramid of frame i from a batch-step output (one dispatch)."""
+        return [jax.lax.dynamic_index_in_dim(l, i, keepdims=False)
+                for l in pyrs_stacked]
+
+    @jax.jit
+    def keyframe_step_at(img_right_u8, pyrs_stacked, i, cur_px, cur_valid,
+                         kf_pose):
+        """keyframe_step on frame i of a batch (pyramid sliced in-program
+        — no extra dispatch)."""
+        pyr_left = [jax.lax.dynamic_index_in_dim(l, i, keepdims=False)
+                    for l in pyrs_stacked]
+        pyr_right = _pyramid(img_right_u8)
+        r = make_keyframe(pyr_left, pyr_right, cur_px, cur_valid, kf_pose)
+        return jnp.concatenate([
+            r.new_px_left, r.new_px_right, r.inv_depth[:, None], r.world,
+            r.valid.astype(jnp.float32)[:, None]], axis=1)
+
     @jax.jit
     def landmark_world(anchor_poses, first_obs, inv_depths):
         """Recompute world positions: right-camera ray at the anchor
@@ -257,4 +330,5 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
 
     return FrontendFns(preprocess, track_frame, make_keyframe,
                        landmark_world, frame_step, keyframe_step,
-                       frame_step_chained)
+                       frame_step_chained, jax.jit(_level0),
+                       make_batch_step, keyframe_step_at, slice_pyr)

