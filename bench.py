@@ -28,7 +28,7 @@ def main():
         height=H, width=W, num_features=400, num_features_init=50,
         num_features_tracking_bad=20, num_features_needed_for_keyframe=120,
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
-        ba_iters=5)
+        ba_iters=5, frame_batch=int(os.environ.get("BENCH_BATCH", 4)))
 
     # warmup on the SAME estimator (each Estimator instance creates fresh
     # jit closures, so a second instance would recompile everything)
@@ -45,6 +45,13 @@ def main():
 
     fps = (n_frames - warm) / dt
     target_fps = 20.0  # 2x real-time at 10 Hz
+    if os.environ.get("BENCH_STATS"):
+        import sys
+
+        from lvio_fusion_tpu.utils.profiling import COUNTERS, TIMERS
+        print(TIMERS.report(), file=sys.stderr)
+        print(f"kfs={est.map.num_kfs} counters={dict(COUNTERS)}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "kitti_odometry_fps_per_chip",
         "value": round(fps, 3),

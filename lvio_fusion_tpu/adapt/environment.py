@@ -38,6 +38,8 @@ class EnvTables:
 
     poses_gt: jnp.ndarray     # (K, 7) ground-truth poses
     poses_prev: jnp.ndarray   # (K, 7) previous-kf gt poses
+    poses_init: jnp.ndarray   # (K, 7) solve initialization (gt, or a
+    # drift-perturbed variant for training against realistic map error)
     # frozen IMU factor inputs (environment.cpp:45-71: all IMU-side states
     # held constant; only the current pose varies)
     imu_dp: jnp.ndarray       # (K, 3)
@@ -93,10 +95,8 @@ def _imu_pose_residual(tables: EnvTables, kf, pose):
 
 def _solve_one(tables: EnvTables, kf, weights, cam, up_axis, resolution):
     """Re-optimize one keyframe pose under the given weights."""
-    pose0 = tables.poses_prev[kf]  # start from the previous gt pose,
-    # perturbed forward: use gt pose as init like the reference (state
-    # poses are gt; weights shape the equilibrium)
-    init = tables.poses_gt[kf]
+    init = tables.poses_init[kf]  # gt like the reference, or the drifted
+    # variant (weights then have to pull the solve back toward gt)
 
     # visual (weight[0]) + frozen IMU factor, pose-only GN
     from lvio_fusion_tpu.geometry.se3 import se3_boxplus
@@ -203,9 +203,16 @@ class VectorEnv:
 
 def tables_from_map(m, gt_times, gt_poses, cam_right, caps=None,
                     height: int = 240, width: int = 360,
-                    lidar_mapping=None) -> EnvTables:
+                    lidar_mapping=None, drift: float = 0.0,
+                    drift_seed: int = 0) -> EnvTables:
     """Build EnvTables from a finished HostMap + TUM ground truth
-    (Environment::Init semantics: poses := ground truth)."""
+    (Environment::Init semantics: poses := ground truth).
+
+    ``drift`` > 0 perturbs the SOLVE INITIALIZATION with a random-walk
+    translation of that many meters per traveled meter — training then
+    rewards weights that pull a drifted pose back to gt, rather than
+    weights that merely keep an already-perfect pose (the reference
+    trains only on the gt-reset map, environment.h:26-48)."""
     from lvio_fusion_tpu.geometry.se3 import se3_apply, se3_slerp
 
     K = m.num_kfs
@@ -224,6 +231,14 @@ def tables_from_map(m, gt_times, gt_poses, cam_right, caps=None,
 
     poses_gt = np.stack([gt_at(t) for t in m.kf_time]).astype(np.float32)
     poses_prev = np.concatenate([poses_gt[:1], poses_gt[:-1]])
+    poses_init = poses_gt.copy()
+    if drift > 0:
+        rng = np.random.default_rng(drift_seed)
+        step_len = np.linalg.norm(poses_gt[1:, 4:] - poses_gt[:-1, 4:],
+                                  axis=-1)
+        walk = np.cumsum(rng.normal(0, 1, (K - 1, 3))
+                         * (drift * step_len)[:, None], axis=0)
+        poses_init[1:, 4:] += walk.astype(np.float32)
 
     # frozen IMU factor tables
     from lvio_fusion_tpu.models.sensors import GRAVITY
@@ -307,6 +322,7 @@ def tables_from_map(m, gt_times, gt_poses, cam_right, caps=None,
 
     return EnvTables(
         poses_gt=jnp.asarray(poses_gt), poses_prev=jnp.asarray(poses_prev),
+        poses_init=jnp.asarray(poses_init),
         imu_dp=jnp.asarray(imu_dp), imu_dq=jnp.asarray(imu_dq),
         imu_dv=jnp.asarray(imu_dv), imu_dt=jnp.asarray(imu_dt),
         imu_jac=jnp.asarray(imu_jac), imu_sqrt_info=jnp.asarray(imu_si),

@@ -18,6 +18,7 @@ from typing import NamedTuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from lvio_fusion_tpu.adapt.observation import OBS_DIM
@@ -194,10 +195,38 @@ class TD3:
         return float(closs), float(aloss)
 
 
+def evaluate_policy(env, agent: TD3, episodes: int = 2, seed: int = 123):
+    """Deterministic (noise-free) rollouts on a held-out env; returns the
+    mean per-step reward (the reference's test_envs pass,
+    td3.py:100-115)."""
+    key = jax.random.PRNGKey(seed)
+    total, steps = 0.0, 0
+    for ep in range(episodes):
+        key, kr = jax.random.split(key)
+        state, obs = env.reset(kr)
+        obs = obs.reshape(obs.shape[0], -1)
+        done = jnp.zeros(env.B, bool)
+        for _ in range(env.horizon):
+            act = agent.act(agent.state.actor, obs)
+            state, obs, rew, done = env.step(state, act)
+            obs = obs.reshape(obs.shape[0], -1)
+            total += float(rew.mean())
+            steps += 1
+            if bool(done.all()):
+                break
+    return total / max(steps, 1)
+
+
 def train_td3(env, agent: TD3, epochs=20, steps_per_epoch=80,
               batch_size=64, replay_capacity=20000, warmup=200, seed=0,
-              log=None):
-    """Off-policy training loop (td3.py:56-124 hyperscale defaults)."""
+              log=None, eval_env=None):
+    """Off-policy training loop (td3.py:56-124 hyperscale defaults; batch
+    64 instead of the reference's 8 — batched updates are free on TPU).
+
+    With ``eval_env`` (held-out instances), the policy is evaluated
+    noise-free after every epoch and the BEST-reward actor parameters are
+    restored at the end (reference best-checkpoint save, td3.py:100-115).
+    """
     key = jax.random.PRNGKey(seed + 1)
     replay = make_replay(replay_capacity)
     key, kr = jax.random.split(key)
@@ -206,6 +235,7 @@ def train_td3(env, agent: TD3, epochs=20, steps_per_epoch=80,
     rewards_hist = []
 
     total = 0
+    best_eval, best_actor = -np.inf, None
     for epoch in range(epochs):
         ep_rew = []
         for _ in range(steps_per_epoch):
@@ -228,6 +258,16 @@ def train_td3(env, agent: TD3, epochs=20, steps_per_epoch=80,
             if total >= warmup:
                 agent.update(replay, ku, batch_size)
         rewards_hist.append(float(jnp.mean(jnp.asarray(ep_rew))))
+        msg = f"epoch {epoch}: mean reward {rewards_hist[-1]:.3f}"
+        if eval_env is not None:
+            ev = evaluate_policy(eval_env, agent, seed=seed + 77)
+            msg += f"  eval {ev:.3f}"
+            if ev > best_eval:
+                best_eval, best_actor = ev, jax.tree.map(
+                    lambda x: x.copy(), agent.state.actor)
+                msg += " (best)"
         if log:
-            log(f"epoch {epoch}: mean reward {rewards_hist[-1]:.3f}")
+            log(msg)
+    if best_actor is not None:
+        agent.state = agent.state._replace(actor=best_actor)
     return agent, rewards_hist

@@ -33,6 +33,7 @@ def _build_synthetic(args):
         num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
         window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
         ba_iters=5, cell=24, occupy_radius=10,
+        frame_batch=getattr(args, "batch", 1),
         use_imu=args.imu, use_lidar=args.lidar,
         num_scans=16, horizon_scan=360, ang_res_y=2.0, ang_bottom=15.0,
         ground_rows=8, min_range=1.0, max_range=50.0,
@@ -66,6 +67,7 @@ def _build_kitti(args):
     cfg = EstimatorConfig(
         height=H, width=W, num_features=400,
         use_lidar=args.lidar and ds.lidar_extrinsic is not None,
+        frame_batch=getattr(args, "batch", 1),
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024)
     est = Estimator(ds.cam_left, ds.cam_right, cfg,
                     lidar_extrinsic=ds.lidar_extrinsic)
@@ -78,11 +80,54 @@ def _build_kitti(args):
     return est, stream(), ds
 
 
+def _build_kaist(args):
+    """KAIST urban run: stereo(+IMU)(+GPS) with intrinsics/extrinsics from
+    a reference-format YAML (the kaist28/kaist39 presets parse as-is)."""
+    from lvio_fusion_tpu.core.estimator import Estimator
+    from lvio_fusion_tpu.datasets.kaist import KaistUrban
+
+    if not args.config:
+        raise SystemExit("kaist needs --config <kaist28.yaml-format file> "
+                         "for camera intrinsics/extrinsics")
+    ds = KaistUrban(args.root, with_lidar=args.lidar)
+    probe = next(ds.frames(0, 1))
+    H, W = probe.left.shape
+    est = Estimator.from_config(args.config, H, W,
+                                frame_batch=getattr(args, "batch", 1))
+
+    def stream():
+        imu = ds.imu() if est.cfg.use_imu else None
+        gps = ds.gps() if est.cfg.use_navsat else None
+        ii = gi = li = 0
+        for k, fr in enumerate(ds.frames(
+                0, args.frames if args.frames > 0 else None)):
+            if imu is not None:
+                while ii < len(imu.times) and imu.times[ii] <= fr.time:
+                    est.input_imu(imu.times[ii], imu.acc[ii], imu.gyr[ii])
+                    ii += 1
+            if gps is not None:
+                while gi < len(gps.times) and gps.times[gi] <= fr.time:
+                    est.input_navsat(gps.times[gi], gps.enu[gi])
+                    gi += 1
+            if est.cfg.use_lidar and ds.lidar_stamps is not None:
+                while (li < len(ds.lidar_stamps)
+                       and ds._sec(ds.lidar_stamps[li]) <= fr.time):
+                    scan = ds.lidar_scan(li)
+                    if scan is not None:
+                        est.input_pointcloud(ds._sec(ds.lidar_stamps[li]),
+                                             scan[:, :3])
+                    li += 1
+            yield fr.time, fr.left, fr.right
+    return est, stream(), ds
+
+
 def cmd_run(args):
     from lvio_fusion_tpu.utils.trajectory import write_tum_csv
 
     if args.dataset == "synthetic":
         est, stream, _ = _build_synthetic(args)
+    elif args.dataset == "kaist":
+        est, stream, _ = _build_kaist(args)
     else:
         est, stream, _ = _build_kitti(args)
 
@@ -103,8 +148,10 @@ def cmd_run(args):
     print(f"{n} frames in {dt:.1f}s ({n / dt:.2f} fps), "
           f"{len(times)} keyframes -> {args.out}")
     if args.stats:
-        from lvio_fusion_tpu.utils.profiling import TIMERS
+        from lvio_fusion_tpu.utils.profiling import COUNTERS, TIMERS
         print(TIMERS.report(), file=sys.stderr)
+        for k, v in sorted(COUNTERS.items()):
+            print(f"counter {k}: {v}", file=sys.stderr)
 
 
 def cmd_train_rl(args):
@@ -119,15 +166,24 @@ def cmd_train_rl(args):
         est.input_image(t, left, right)
     est.finalize()
 
+    lm = getattr(est, "lidar_mapping", None)
     tables = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
                              est.cam_right, height=240, width=360,
-                             lidar_mapping=getattr(est, "lidar_mapping",
-                                                   None))
+                             lidar_mapping=lm, drift=args.drift,
+                             drift_seed=0)
     env = VectorEnv(tables, est.cam_left, num_envs=args.envs,
                     horizon=10)
+    # held-out evaluation instances: a DIFFERENT drift realization
+    eval_tables = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
+                                  est.cam_right, height=240, width=360,
+                                  lidar_mapping=lm, drift=args.drift,
+                                  drift_seed=1)
+    eval_env = VectorEnv(eval_tables, est.cam_left,
+                         num_envs=max(args.envs, 8), horizon=10)
     agent = TD3(seed=0)
     agent, hist = train_td3(env, agent, epochs=args.epochs,
                             steps_per_epoch=args.steps,
+                            eval_env=eval_env,
                             log=lambda s: print(s, file=sys.stderr))
     save_policy(agent, args.out)
     print(f"trained {args.epochs} epochs, reward history {hist[-3:]}, "
@@ -185,14 +241,19 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="run odometry, write trajectory CSV")
-    r.add_argument("--dataset", choices=["synthetic", "kitti"],
+    r.add_argument("--dataset", choices=["synthetic", "kitti", "kaist"],
                    default="synthetic")
-    r.add_argument("--root", default="", help="kitti dataset root")
+    r.add_argument("--root", default="", help="dataset root directory")
+    r.add_argument("--config", default="",
+                   help="reference-format YAML (required for kaist)")
     r.add_argument("--sequence", default="00")
     r.add_argument("--frames", type=int, default=40)
     r.add_argument("--imu", action="store_true")
     r.add_argument("--lidar", action="store_true")
     r.add_argument("--out", default="trajectory.csv")
+    r.add_argument("--batch", type=int, default=1,
+                   help="frames per device dispatch (throughput mode; "
+                        "keyframe decisions lag by batch-1 frames)")
     r.add_argument("--stats", action="store_true",
                    help="print per-stage timing (glog-style observability)")
     r.set_defaults(fn=cmd_run)
@@ -205,6 +266,10 @@ def main(argv=None):
     t.add_argument("--envs", type=int, default=8)
     t.add_argument("--epochs", type=int, default=5)
     t.add_argument("--steps", type=int, default=40)
+    t.add_argument("--drift", type=float, default=0.05,
+                   help="random-walk map drift (m per traveled m) the "
+                        "policy trains against (0 = gt-reset like the "
+                        "reference)")
     t.add_argument("--out", default="td3.pkl")
     t.set_defaults(fn=cmd_train_rl)
 

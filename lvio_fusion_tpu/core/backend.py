@@ -50,27 +50,6 @@ class Backend:
         self.use_imu = use_imu
         self.solve_vo = make_window_ba(cam_left, cam_right,
                                        num_iters=num_iters, packed=True)
-        # fixed-shape helpers (varying shapes would force a recompile per
-        # call — seconds each behind a remote-compile tunnel)
-        C = caps.F  # per-window obs capacity for outlier rejection
-        self._oc = C
-
-        @jax.jit
-        def _batch_reproj(pw, poses, px):
-            pred = jax.vmap(lambda p, t: cam_left.world2pixel(p, t))(
-                pw.reshape(-1, 3), poses.reshape(-1, 7))
-            return jnp.linalg.norm(pred - px.reshape(-1, 2), axis=-1)
-
-        self._batch_reproj = _batch_reproj
-
-        @jax.jit
-        def _lm_world(anchor_poses, first_obs, inv_depths):
-            pb = jax.vmap(lambda ob, d: cam_right.pixel2robot(ob, 1.0 / d))(
-                first_obs, inv_depths)
-            from lvio_fusion_tpu.geometry.se3 import se3_apply
-            return jax.vmap(se3_apply)(anchor_poses, pb)
-
-        self._lm_world = _lm_world
         if use_imu:
             from lvio_fusion_tpu.solver.imu_factor import make_imu_linearizer
             self.solve_vio = make_window_ba(
@@ -100,15 +79,24 @@ class Backend:
         kf_local = {int(g): i for i, g in enumerate(kf_idx)}
 
         # ---- gather observations of window kfs ----
+        # src_kf/src_idx record where each gathered entry lives in the host
+        # map (keyframe, slot) so fused per-observation outlier verdicts can
+        # be written back without a second device pass.
         obs_lm, obs_kf, obs_px = [], [], []
+        src_kf, src_idx = [], []
         for g in kf_idx:
             ok = m.obs_ok[g]
-            obs_lm.append(m.obs_lm[g][ok])
-            obs_px.append(m.obs_px[g][ok])
-            obs_kf.append(np.full(ok.sum(), kf_local[int(g)], np.int32))
+            sel = np.where(ok)[0]
+            obs_lm.append(m.obs_lm[g][sel])
+            obs_px.append(m.obs_px[g][sel])
+            obs_kf.append(np.full(len(sel), kf_local[int(g)], np.int32))
+            src_kf.append(np.full(len(sel), int(g), np.int64))
+            src_idx.append(sel)
         obs_lm = np.concatenate(obs_lm)
         obs_px = np.concatenate(obs_px).astype(np.float32)
         obs_kf = np.concatenate(obs_kf)
+        src_kf = np.concatenate(src_kf)
+        src_idx = np.concatenate(src_idx)
 
         lm_anchor_g = np.asarray(m.lm_anchor, np.int64)
         alive = np.asarray(m.lm_alive, bool)
@@ -136,11 +124,21 @@ class Backend:
         tf_lm = lm_slot[obs_lm[is_opt]]
         tf_kf = obs_kf[is_opt]
         tf_px = obs_px[is_opt]
+        tf_src = (src_kf[is_opt], src_idx[is_opt])
         # pose-only obs table
         po_kf = obs_kf[is_po]
         po_px = obs_px[is_po]
+        po_src = (src_kf[is_po], src_idx[is_po])
         po_pw = np.stack([m.lm_world[i] for i in obs_lm[is_po]]) \
             if is_po.any() else np.zeros((0, 3), np.float32)
+
+        # record capacity truncation instead of silently skipping the tail
+        # (overflow observations stay unchecked this round; they re-enter
+        # next window once earlier ones are rejected)
+        n_trunc = max(0, len(tf_lm) - caps.F) + max(0, len(po_kf) - caps.G)
+        if n_trunc:
+            from lvio_fusion_tpu.utils.profiling import COUNTERS
+            COUNTERS["backend.obs_truncated"] += n_trunc
 
         vis_w = np.asarray([m.kf_weights[g][0] for g in kf_idx], np.float32)
 
@@ -212,8 +210,8 @@ class Backend:
         else:
             flat = self.solve_vo(params, vt, pt, kf_valid, kf_fixed)
         from lvio_fusion_tpu.solver.ba import unpack_ba_result
-        new_poses, new_vel, new_bias, new_depths, cost = unpack_ba_result(
-            flat, K, L)
+        (new_poses, new_vel, new_bias, new_depths, lm_world_new, obs_err,
+         po_err, cost) = unpack_ba_result(flat, K, L, F, G)
         new_poses = new_poses[:K_act]
 
         # ---- write back ----
@@ -225,12 +223,35 @@ class Backend:
                 m.kf_bias[g] = new_bias[i]
         for s, gid in enumerate(opt_ids):
             m.lm_inv_depth[gid] = float(new_depths[s])
+            m.lm_world[gid] = lm_world_new[s]
 
-        self._update_world_cache(m, opt_ids)
-        self._reject_outliers(m, kf_idx)
+        # fused outlier rejection: the reprojection errors came back in the
+        # same packed fetch as the solution (backend.cpp:229-245 semantics,
+        # zero extra dispatches)
+        nf = min(len(tf_lm), F)
+        self._apply_rejection(m, tf_src[0][:nf], tf_src[1][:nf],
+                              obs_err[:nf])
+        ng = min(len(po_kf), G)
+        self._apply_rejection(m, po_src[0][:ng], po_src[1][:ng],
+                              po_err[:ng])
 
         from lvio_fusion_tpu.utils import np_se3
         return np_se3.se3_mul(new_poses[-1], np_se3.se3_inv(old_newest))
+
+    def _apply_rejection(self, m: HostMap, src_kf, src_idx, err):
+        """Flip obs_ok for observations whose reprojection error exceeds
+        reject_px and retire landmarks whose support collapses (the
+        reference removes the observation AND eventually the landmark,
+        backend.cpp:229-245 + Map::RemoveLandmark)."""
+        for k in np.where(err >= self.reject_px)[0]:
+            g, j = int(src_kf[k]), int(src_idx[k])
+            if m.obs_ok[g][j]:
+                m.obs_ok[g][j] = False
+                lid = int(m.obs_lm[g][j])
+                m.lm_num_obs[lid] -= 1
+                if m.lm_num_obs[lid] <= 1:
+                    # anchor-only support left: stop using this landmark
+                    m.lm_alive[lid] = False
 
     def _build_imu_tables(self, m: HostMap, kf_idx):
         """Stack stored preintegrations between consecutive window kfs
@@ -268,52 +289,3 @@ class Backend:
             sqrt_info=jnp.asarray(sqrt_info), lin_ba=jnp.asarray(lin_ba),
             lin_bg=jnp.asarray(lin_bg), valid=jnp.asarray(valid),
             g_norm=jnp.float32(GRAVITY))
-
-    def _update_world_cache(self, m: HostMap, lm_ids):
-        """Recompute world positions for the window landmarks — ONE
-        fixed-capacity jitted call (padded to caps.L)."""
-        n = len(lm_ids)
-        if n == 0:
-            return
-        L = self.caps.L
-        anchors = np.zeros((L, 7), np.float32)
-        anchors[:, 0] = 1.0
-        fobs = np.zeros((L, 2), np.float32)
-        depths = np.ones((L,), np.float32)
-        for k, i in enumerate(lm_ids[:L]):
-            anchors[k] = m.kf_pose[m.lm_anchor[i]]
-            fobs[k] = m.lm_first_ob[i]
-            depths[k] = m.lm_inv_depth[i]
-        pw = np.asarray(self._lm_world(jnp.asarray(anchors),
-                                       jnp.asarray(fobs),
-                                       jnp.asarray(depths)))
-        for k, i in enumerate(lm_ids[:L]):
-            m.lm_world[i] = pw[k]
-
-    def _reject_outliers(self, m: HostMap, kf_idx):
-        """Drop observations with reprojection error > reject_px
-        (backend.cpp:229-245). All window kfs in one fixed-shape call."""
-        C = self._oc
-        pw = np.zeros((C, 3), np.float32)
-        poses = np.zeros((C, 7), np.float32)
-        poses[:, 0] = 1.0
-        px = np.zeros((C, 2), np.float32)
-        spans = []
-        cur = 0
-        for g in kf_idx:
-            ids = m.obs_lm[g]
-            n = min(len(ids), C - cur)
-            if n <= 0:
-                spans.append((g, cur, 0))
-                continue
-            pw[cur:cur + n] = [m.lm_world[i] for i in ids[:n]]
-            poses[cur:cur + n] = m.kf_pose[g]
-            px[cur:cur + n] = m.obs_px[g][:n]
-            spans.append((g, cur, n))
-            cur += n
-        err = np.asarray(self._batch_reproj(jnp.asarray(pw),
-                                            jnp.asarray(poses),
-                                            jnp.asarray(px)))
-        for g, start, n in spans:
-            if n:
-                m.obs_ok[g][:n] &= err[start:start + n] < self.reject_px

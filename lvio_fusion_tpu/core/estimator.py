@@ -34,12 +34,28 @@ class EstimatorConfig:
     num_features_tracking_bad: int = 20
     num_features_needed_for_keyframe: int = 120
     max_keyframe_interval: float = 1.0  # force kf at >= 1 Hz
+    frame_batch: int = 1  # frames tracked per device dispatch (>1 amortizes
+    # the tunnel round-trip over several frames; keyframe decisions then lag
+    # by up to frame_batch-1 frames — the same tolerance the reference's
+    # async backend has, backend.cpp:28-40)
     levels: int = 4
     lk_window: int = 21
     cell: int = 30
     occupy_radius: int = 15
     window_kfs: int = 8
     window_seconds: float = 3.0
+    # covisibility re-association (local_map.cpp:271-368: project landmarks
+    # of recent same-heading kfs into the new keyframe and re-attach them by
+    # gated BRIEF matching instead of minting duplicates)
+    use_covisibility: bool = True
+    covis_kfs: int = 4           # GetCovisibilityKeyFrames window
+    covis_max_angle: float = 30.0  # max heading difference (degrees)
+    covis_radius: float = 25.0   # px search radius around the projection
+    covis_max_dist: int = 50     # Hamming gate (local_map.cpp Search)
+    covis_ratio: float = 0.8     # kNN ratio test
+    # moving-point rejection (frontend.cpp:195-230 remove_moving_points)
+    remove_moving_points: bool = True
+    moving_px: float = 30.0
     landmark_slots: int = 512
     obs_slots: int = 2048
     po_slots: int = 1024
@@ -100,7 +116,8 @@ class Estimator:
         fns = make_frontend(
             cam_left, cam_right, c.height, c.width, c.num_features,
             levels=c.levels, win=c.lk_window, cell=c.cell,
-            occupy_radius=c.occupy_radius)
+            occupy_radius=c.occupy_radius,
+            remove_moving=c.remove_moving_points, moving_px=c.moving_px)
         self.preprocess = fns.preprocess
         self.track_frame = fns.track_frame
         self.make_keyframe = fns.make_keyframe
@@ -109,6 +126,9 @@ class Estimator:
         self.keyframe_step = fns.keyframe_step
         self.frame_step_chained = fns.frame_step_chained
         self.level0 = fns.level0
+        self._batch_step = (fns.make_batch_kf_step(c.frame_batch)
+                            if c.frame_batch > 1 else None)
+        self._fbuf: list = []  # pending (time, left_u8, right_u8) frames
         self.backend = Backend(
             cam_left, cam_right,
             caps=WindowCaps(K=c.window_kfs, L=c.landmark_slots,
@@ -116,6 +136,13 @@ class Estimator:
             num_iters=c.ba_iters, use_imu=c.use_imu,
             window_seconds=c.window_seconds)
         self.map = HostMap()
+        # host-side copy of the left camera intrinsics/extrinsic for
+        # numpy-only projections (covisibility re-association)
+        self._cam_np = {
+            "fx": float(cam_left.fx), "fy": float(cam_left.fy),
+            "cx": float(cam_left.cx), "cy": float(cam_left.cy),
+            "ext": np.asarray(cam_left.extrinsic, np.float32),
+        }
 
         # frontend state
         self.status = self.BUILDING
@@ -123,6 +150,7 @@ class Estimator:
         self._dev = None  # device-resident tracking chain state
         self.last_pose = np.asarray(se3_identity())
         self.relative = np.asarray(se3_identity())  # constant-velocity model
+        self._rel_dt = 0.0  # time span the relative motion covers
         self.last_time: Optional[float] = None
         self.last_kf_time: Optional[float] = None
         # current tracked features: fixed capacity num_features
@@ -133,6 +161,11 @@ class Estimator:
 
         # IMU state (frontend.cpp imu_buf_ + Preintegrate/PredictState)
         self.imu_initialized = False
+        self._imu_init_stage = 0    # retry ladder (initializer.cpp:58-130)
+        self._imu_init_time = None  # wall time of the first successful init
+        self._imu_init_min_kf = 0   # keyframes before this are poisoned
+        # (a failed solve advances it, like the reference's init_time bump
+        # after failure, frontend.cpp:150)
         self.cur_vel = np.zeros(3, np.float32)
         self.cur_bias = np.zeros(6, np.float32)
         self._imu_t: list = []
@@ -165,17 +198,10 @@ class Estimator:
             self._lidar_extract = make_feature_extractor(
                 c.num_scans, c.horizon_scan, c.ang_res_y, c.ang_bottom,
                 c.ground_rows, c.min_range, c.max_range, c.resolution,
-                c.max_ground, c.max_surf)
+                c.max_ground, c.max_surf, cycle_time=c.cycle_time)
             self.lidar_mapping = LidarMapping(
                 resolution=c.resolution, iters=c.lidar_iters,
                 map_cap=c.lidar_map_cap, up_axis=c.lidar_up_axis)
-
-            @jax.jit
-            def _to_robot(pts, ext):
-                from lvio_fusion_tpu.geometry.se3 import se3_apply
-                return jax.vmap(lambda p: se3_apply(ext, p))(pts)
-
-            self._lidar_to_robot = _to_robot
 
         # image undistortion (reference estimator.cpp undistort maps)
         self._undistort = None
@@ -351,27 +377,47 @@ class Estimator:
             del self._scans[:-40]
 
     def _attach_kf_lidar(self, kf_idx, time):
-        """Extract features from the scan nearest the keyframe time and
-        store body-frame clouds (FeatureAssociation::AddScan+Process)."""
+        """Stitch the two raw scans bracketing the keyframe time into one
+        full revolution centered on it (AlignScan, association.cpp:40-63),
+        extract features, motion-deskew them to the keyframe instant
+        (UndistortPoint, association.cpp:65-83), and store body-frame
+        clouds — all inside ONE jitted program."""
         if not self._scans:
             return
         c = self.cfg
+        from lvio_fusion_tpu.utils import np_se3
+        T = c.cycle_time
         times = np.asarray([t for t, _ in self._scans])
-        i = int(np.argmin(np.abs(times - time)))
-        if abs(times[i] - time) > max(1.5 * c.cycle_time, 0.15):
-            return
-        pts = self._scans[i][1]
-        n = min(len(pts), c.max_scan_points)
-        buf = np.zeros((c.max_scan_points, 3), np.float32)
-        msk = np.zeros(c.max_scan_points, bool)
-        buf[:n] = pts[:n]
-        msk[:n] = True
-        f = self._lidar_extract(jnp.asarray(buf), jnp.asarray(msk))
-        ext = jnp.asarray(self.lidar_extrinsic)
+        # scan timestamps are sweep STARTS; the window [time-T/2, time+T/2)
+        # is covered by the last scan starting at/before the window start
+        # plus its successor (AlignScan stitches exactly these two)
+        i0 = int(np.searchsorted(times, time - 0.5 * T, side="right")) - 1
+        i0 = max(i0, 0)
+        if abs(times[i0] + 0.5 * T - time) > max(2.0 * T, 0.2):
+            return  # no scan near the keyframe at all
+        pair = [i0] + ([i0 + 1] if i0 + 1 < len(self._scans)
+                       and times[i0 + 1] - times[i0] < 2.5 * T else [])
+        P = c.max_scan_points
+        buf = np.zeros((2 * P, 3), np.float32)
+        msk = np.zeros(2 * P, bool)
+        tb = np.zeros(2 * P, np.float32)
+        for k, s in enumerate(pair):
+            ts, pts = self._scans[s]
+            n = min(len(pts), P)
+            buf[k * P:k * P + n] = pts[:n]
+            msk[k * P:k * P + n] = True
+            tb[k * P:k * P + n] = ts - time
+        # body twist over the last frame interval (constant-velocity; the
+        # reference interpolates map poses — same signal at our cadence)
+        xi = np_se3.se3_twist(self.relative, self._rel_dt) \
+            if self._rel_dt > 0 else np.zeros(6, np.float32)
+        f = self._lidar_extract.stitched(
+            jnp.asarray(buf), jnp.asarray(msk), jnp.asarray(tb),
+            jnp.asarray(xi), jnp.asarray(self.lidar_extrinsic))
         self.map.kf_lidar[kf_idx] = {
-            "ground": np.asarray(self._lidar_to_robot(f.ground, ext)),
+            "ground": np.asarray(f.ground),
             "ground_valid": np.asarray(f.ground_valid),
-            "surf": np.asarray(self._lidar_to_robot(f.surf, ext)),
+            "surf": np.asarray(f.surf),
             "surf_valid": np.asarray(f.surf_valid),
         }
 
@@ -391,6 +437,14 @@ class Estimator:
     def finalize(self):
         """Flush pending refinements (end of sequence; the reference's
         'e'-key final navsat optimization, lvio_fusion_node.cpp:387-393)."""
+        if self._fbuf:
+            # drain buffered frames through the per-frame path
+            leftover, self._fbuf = self._fbuf, []
+            for t, left_u8, right_u8 in leftover:
+                if self.status == self.BUILDING:
+                    self._build_frame(t, left_u8, right_u8)
+                else:
+                    self._track_single(t, left_u8, right_u8)
         if self.cfg.use_lidar:
             for j in range(self._lidar_done, self.map.num_kfs):
                 self.lidar_mapping.refine(self.map, j)
@@ -436,6 +490,12 @@ class Estimator:
         """Upload the host tracking state to the device chain (called when
         host-side events — keyframes, re-inits, global corrections —
         mutate features, landmark positions, or the pose)."""
+        # drop live features whose landmark was retired by the backend's
+        # outlier lifecycle (reference Map::RemoveLandmark ripples into the
+        # frontend feature set)
+        for k in np.where(self.feat_valid)[0]:
+            if not self.map.lm_alive[self.feat_lm[k]]:
+                self.feat_valid[k] = False
         lm_world = np.zeros((len(self.feat_lm), 3), np.float32)
         sel = self.feat_valid
         if sel.any():
@@ -474,27 +534,36 @@ class Estimator:
                 jnp.asarray(self._to_u8(img_right)), jnp.int32(1)))
         img_right_u8 = None  # converted lazily (only needed at keyframes)
 
-        if self.status == self.BUILDING:
-            if self.cfg.use_imu:
-                # drain stale samples; keep the newest as the integration
-                # anchor for the first keyframe interval
-                ts, accs, gyrs = self._consume_imu(-np.inf, time)
-                self._kf_t += ts
-                self._kf_acc += accs
-                self._kf_gyr += gyrs
-                self._reset_kf_imu_buffer()
-            pose = (np.asarray(se3_identity()) if init_pose is None
-                    else np.asarray(init_pose, np.float32))
-            pyr_left = self.preprocess(jnp.asarray(img_left))
-            ok = self._init_map(time, pyr_left, self._to_u8(img_right),
-                                pose)
-            if ok:
-                self.status = self.TRACKING
-            self.last_pyr = pyr_left
-            self.last_pose = pose
-            self.last_time = time
-            return self.last_pose
+        if self.status != self.BUILDING and self._batch_step is not None:
+            return self._input_image_batched(time, img_left, img_right)
 
+        if self.status == self.BUILDING:
+            return self._build_frame(time, img_left, img_right, init_pose)
+
+        return self._track_single(time, img_left, img_right)
+
+    def _build_frame(self, time, img_left_u8, img_right, init_pose=None):
+        """BUILDING state: try to bootstrap the map from this frame."""
+        if self.cfg.use_imu:
+            # drain stale samples; keep the newest as the integration
+            # anchor for the first keyframe interval
+            ts, accs, gyrs = self._consume_imu(-np.inf, time)
+            self._kf_t += ts
+            self._kf_acc += accs
+            self._kf_gyr += gyrs
+            self._reset_kf_imu_buffer()
+        pose = (np.asarray(se3_identity()) if init_pose is None
+                else np.asarray(init_pose, np.float32))
+        pyr_left = self.preprocess(jnp.asarray(img_left_u8))
+        ok = self._init_map(time, pyr_left, self._to_u8(img_right), pose)
+        if ok:
+            self.status = self.TRACKING
+        self.last_pyr = pyr_left
+        self.last_pose = pose
+        self.last_time = time
+        return self.last_pose
+
+    def _track_single(self, time, img_left, img_right):
         # ---- per-frame tracking ----
         from lvio_fusion_tpu.utils import np_se3
         ext_pred = np.zeros(7, np.float32)
@@ -549,6 +618,7 @@ class Estimator:
             # place keeping the extrapolated pose (frontend.cpp:129-137)
             if self.imu_initialized:
                 self.imu_initialized = False
+                self._imu_init_stage = 0
             self.status = self.LOST
             pose = (ext_pred if use_ext
                     else np_se3.se3_mul(self.last_pose, self.relative))
@@ -570,6 +640,7 @@ class Estimator:
         if self.last_time is not None and time > self.last_time:
             self.relative = np_se3.se3_mul(np_se3.se3_inv(self.last_pose),
                                            pose)
+            self._rel_dt = time - self.last_time
         self.last_pose = pose
         self.last_pyr = pyr_left
         self.last_time = time
@@ -580,35 +651,167 @@ class Estimator:
         return pose
 
     # ------------------------------------------------------------------
+    # batched tracking (frame_batch > 1): B frames per device round trip
+
+    def _input_image_batched(self, time, img_left_u8, img_right):
+        """Buffer one frame; every frame_batch-th frame flushes the whole
+        buffer through ONE jitted program (tracking for B frames + a
+        speculative keyframe stage). Intermediate frames return the
+        constant-velocity extrapolated pose; refined poses land in the
+        keyframe map at flush time."""
+        from lvio_fusion_tpu.utils import np_se3
+        self._fbuf.append((float(time), img_left_u8,
+                           self._to_u8(img_right)))
+        if len(self._fbuf) >= self.cfg.frame_batch:
+            return self._flush_batch()
+        p = self.last_pose
+        for _ in range(len(self._fbuf)):
+            p = np_se3.se3_mul(p, self.relative)
+        return p
+
+    def _flush_batch(self):
+        from lvio_fusion_tpu.core.frontend import (
+            KeyframeResult, unpack_track_result,
+        )
+        from lvio_fusion_tpu.utils import np_se3
+        buf, self._fbuf = self._fbuf, []
+        B = self.cfg.frame_batch
+        assert len(buf) == B
+        times = [t for t, _, _ in buf]
+        imgs = np.stack([l for _, l, _ in buf])
+
+        if self.cfg.use_imu:
+            # per-frame IMU prediction is disabled in batched mode (it
+            # would cost one dispatch per frame); samples still accumulate
+            # for the per-keyframe preintegration factors
+            ts, accs, gyrs = self._consume_imu(self.last_time, times[-1])
+            self._kf_t += ts
+            self._kf_acc += accs
+            self._kf_gyr += gyrs
+        ext_preds = np.zeros((B, 7), np.float32)
+        ext_preds[:, 0] = 1.0
+        use_ext = np.zeros(B, bool)
+
+        if self._dev is None:
+            self._sync_device_state()
+        d = self._dev
+        (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed, kf_packed) = \
+            self._batch_step(
+                jnp.asarray(imgs), jnp.asarray(buf[-1][2]), d["pyr"],
+                d["feat_px"], d["feat_valid"], d["lm_world"], d["pose"],
+                d["relative"], jnp.asarray(ext_preds), jnp.asarray(use_ext))
+        self._dev = dict(pyr=pyr_cur, feat_px=fpx_d, feat_valid=fval_d,
+                         lm_world=d["lm_world"], pose=pose_d,
+                         relative=rel_d)
+        self.last_pyr = pyr_cur  # _sync_device_state re-seeds from this
+        packed_np, kf_np = jax.device_get((packed, kf_packed))
+        rows = [unpack_track_result(packed_np[b], self.cfg.num_features)
+                for b in range(B)]
+        inliers = [r[3] for r in rows]
+
+        lost_at = next((b for b in range(B)
+                        if inliers[b] <= self.cfg.num_features_tracking_bad),
+                       None)
+        if lost_at is not None:
+            # tracking collapsed inside the batch: extrapolate over the bad
+            # frames and re-initialize the map from the speculative
+            # detection, re-worlded under the corrected pose
+            # (frontend.cpp:121-137 LOST handling)
+            if self.imu_initialized:
+                self.imu_initialized = False
+                self._imu_init_stage = 0
+            self.status = self.LOST
+            pose = (rows[lost_at - 1][2] if lost_at > 0 else self.last_pose)
+            for _ in range(B - lost_at if lost_at > 0 else B):
+                pose = np_se3.se3_mul(pose, self.relative)
+            self.feat_valid[:] = False
+            valid = kf_np[:, 8] > 0.5
+            if valid.sum() >= self.cfg.num_features_init:
+                from lvio_fusion_tpu.core.frontend import (
+                    unpack_keyframe_desc,
+                )
+                world = np_se3.se3_apply_batch(pose, kf_np[:, 9:12])
+                kf = KeyframeResult(
+                    new_px_left=kf_np[:, 0:2], new_px_right=kf_np[:, 2:4],
+                    inv_depth=kf_np[:, 4], world=world, valid=valid)
+                desc, desc_ok = unpack_keyframe_desc(kf_np)
+                kf_idx = self.map.add_keyframe(
+                    times[-1], pose, weights=np.array(
+                        [self.cfg.visual_weight, 1.0, 0.01], np.float32))
+                self._insert_new_landmarks(kf_idx, kf, valid, descs=desc,
+                                           descs_ok=desc_ok)
+                self.last_kf_time = times[-1]
+                self.status = self.TRACKING
+            else:
+                # keep falling back to the per-frame path until re-init
+                self.status = self.BUILDING
+            self.last_pose = pose.astype(np.float32)
+            self.last_time = times[-1]
+            self._sync_device_state()
+            return self.last_pose
+
+        pose = rows[-1][2]
+        self.feat_px = rows[-1][0].copy()
+        self.feat_valid = rows[-1][1].copy()
+        if B >= 2:
+            self.relative = np_se3.se3_mul(np_se3.se3_inv(rows[-2][2]), pose)
+            self._rel_dt = times[-1] - times[-2]
+        elif self.last_time is not None:
+            self.relative = np_se3.se3_mul(np_se3.se3_inv(self.last_pose),
+                                           pose)
+            self._rel_dt = times[-1] - self.last_time
+
+        need_kf = (min(inliers) < self.cfg.num_features_needed_for_keyframe
+                   or times[-1] - self.last_kf_time
+                   >= self.cfg.max_keyframe_interval)
+        if need_kf:
+            pose = self._create_keyframe(times[-1], pyr_cur, buf[-1][2],
+                                         pose, kf_packed=kf_np)
+        self.last_pose = np.asarray(pose, np.float32)
+        self.last_time = times[-1]
+        if need_kf:
+            self._sync_device_state()
+        return self.last_pose
+
+    # ------------------------------------------------------------------
 
     def _init_map(self, time, pyr_left, img_right_u8, pose) -> bool:
         """BUILDING/LOST -> detect + triangulate a fresh landmark set
         (frontend.cpp InitMap)."""
-        from lvio_fusion_tpu.core.frontend import unpack_keyframe_result
-        kf = unpack_keyframe_result(self.keyframe_step(
+        from lvio_fusion_tpu.core.frontend import (
+            unpack_keyframe_desc, unpack_keyframe_result,
+        )
+        kf_packed = self.keyframe_step(
             jnp.asarray(img_right_u8), pyr_left,
             jnp.asarray(self.feat_px), jnp.asarray(self.feat_valid),
-            jnp.asarray(pose, dtype=jnp.float32)))
+            jnp.asarray(pose, dtype=jnp.float32))
+        kf = unpack_keyframe_result(kf_packed)
+        desc, desc_ok = unpack_keyframe_desc(kf_packed)
         valid = kf.valid
         if valid.sum() < self.cfg.num_features_init:
             return False
         kf_idx = self.map.add_keyframe(
             time, pose, weights=np.array(
                 [self.cfg.visual_weight, 1.0, 0.01], np.float32))
-        self._insert_new_landmarks(kf_idx, kf, valid)
+        self._insert_new_landmarks(kf_idx, kf, valid, descs=desc,
+                                   descs_ok=desc_ok)
         self.last_kf_time = time
         return True
 
     def _create_keyframe(self, time, pyr_left, img_right_u8,
-                         pose) -> np.ndarray:
+                         pose, kf_packed=None) -> np.ndarray:
         from lvio_fusion_tpu.utils.profiling import TIMERS
         with TIMERS.time("backend.keyframe"):
             return self._create_keyframe_impl(time, pyr_left,
-                                              img_right_u8, pose)
+                                              img_right_u8, pose,
+                                              kf_packed)
 
     def _create_keyframe_impl(self, time, pyr_left, img_right_u8,
-                              pose):
-        """Persist tracked observations, detect new landmarks, run BA."""
+                              pose, kf_packed=None):
+        """Persist tracked observations, detect new landmarks, run BA.
+        ``kf_packed``: speculative detect/triangulate result already
+        computed inside the batched frame program (saves the
+        keyframe_step dispatch)."""
         kf_idx = self.map.add_keyframe(
             time, pose, vel=self.cur_vel, bias=self.cur_bias,
             weights=np.array(
@@ -617,12 +820,20 @@ class Estimator:
         if sel.any():
             self.map.add_observations(kf_idx, self.feat_lm[sel],
                                       self.feat_px[sel])
-        from lvio_fusion_tpu.core.frontend import unpack_keyframe_result
-        kf = unpack_keyframe_result(self.keyframe_step(
-            jnp.asarray(img_right_u8), pyr_left,
-            jnp.asarray(self.feat_px), jnp.asarray(self.feat_valid),
-            jnp.asarray(pose, dtype=jnp.float32)))
-        self._insert_new_landmarks(kf_idx, kf, kf.valid)
+        from lvio_fusion_tpu.core.frontend import (
+            unpack_keyframe_desc, unpack_keyframe_result,
+        )
+        if kf_packed is None:
+            kf_packed = self.keyframe_step(
+                jnp.asarray(img_right_u8), pyr_left,
+                jnp.asarray(self.feat_px), jnp.asarray(self.feat_valid),
+                jnp.asarray(pose, dtype=jnp.float32))
+        kf = unpack_keyframe_result(kf_packed)
+        desc, desc_ok = unpack_keyframe_desc(kf_packed)
+        matched = self._covisibility_reassociate(
+            kf_idx, kf.new_px_left, kf.valid, desc, desc_ok, pose)
+        self._insert_new_landmarks(kf_idx, kf, kf.valid & ~matched,
+                                   descs=desc, descs_ok=desc_ok)
         self.last_kf_time = time
 
         if self.agent is not None:
@@ -642,9 +853,7 @@ class Estimator:
 
         if self.cfg.use_imu:
             self._attach_kf_preintegration(kf_idx)
-            if (not self.imu_initialized
-                    and self.map.num_kfs >= self.cfg.init_kfs):
-                self._initialize_imu()
+            self._maybe_initialize_imu(time)
         if self.cfg.use_lidar:
             self._attach_kf_lidar(kf_idx, time)
 
@@ -689,10 +898,50 @@ class Estimator:
             self._kf_acc = self._kf_acc[-1:]
             self._kf_gyr = self._kf_gyr[-1:]
 
-    def _initialize_imu(self):
+    def _maybe_initialize_imu(self, time):
+        """VI initialization with the reference's retry ladder
+        (initializer.cpp:58-130): first attempt once init_kfs keyframes
+        exist; the inertial solve is RE-RUN ~5 s and ~10 s later with
+        progressively weaker bias priors (by then the window holds richer
+        motion); any failed solve leaves imu_initialized False so the next
+        keyframe retries it."""
+        m = self.map
+        if not self.imu_initialized:
+            if m.num_kfs < self.cfg.init_kfs:
+                return
+            st = self._initialize_imu(prior_bg=1.0, prior_ba=10.0)
+            if st > 0:
+                self.imu_initialized = True
+                self._imu_init_stage = 1
+                self._imu_init_time = time
+            elif st < 0:
+                # rejected solve: the window is poisoned (bad samples /
+                # degenerate motion) — restart data collection from here
+                # (reference bumps init_time past the failure)
+                self._imu_init_min_kf = m.num_kfs
+            return
+        if self._imu_init_stage == 1 and time - self._imu_init_time >= 5.0:
+            self._imu_init_stage = 2
+            if self._initialize_imu(prior_bg=0.3, prior_ba=3.0) < 0:
+                self.imu_initialized = False
+                self._imu_init_stage = 0
+                self._imu_init_min_kf = m.num_kfs
+        elif (self._imu_init_stage == 2
+                and time - self._imu_init_time >= 10.0):
+            self._imu_init_stage = 3
+            if self._initialize_imu(prior_bg=0.1, prior_ba=1.0) < 0:
+                self.imu_initialized = False
+                self._imu_init_stage = 0
+                self._imu_init_min_kf = m.num_kfs
+
+    def _initialize_imu(self, prior_bg: float = 1.0,
+                        prior_ba: float = 10.0) -> int:
         """Run VI initialization over stored preintegrations and gravity-
         align the whole map (Initializer::Initialize +
-        Map::ApplyGravityRotation)."""
+        Map::ApplyGravityRotation). Returns 1 on success, 0 when the
+        usable chain is still too short (just wait), and -1 when the solve
+        is REJECTED — unphysical gyro bias, tools.cpp:59-63 bg > 0.2 —
+        so the caller can advance past the poisoned window."""
         import jax as _jax
 
         from lvio_fusion_tpu.core.imu_init import (
@@ -702,13 +951,15 @@ class Estimator:
 
         m = self.map
         # use the most recent contiguous preintegration chain (gaps appear
-        # after LOST episodes / IMU resets)
+        # after LOST episodes / IMU resets), never reaching back into a
+        # window a previous attempt rejected
         end = m.num_kfs
         start = end - 1
-        while start > 0 and m.kf_preint[start] is not None:
+        while (start > max(0, self._imu_init_min_kf)
+               and m.kf_preint[start] is not None):
             start -= 1
         if end - start < self.cfg.init_kfs:
-            return
+            return 0
         pres = [m.kf_preint[i] for i in range(start + 1, end)]
         pre = jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
@@ -719,7 +970,11 @@ class Estimator:
                              cov=pre["cov"], lin_ba=pre["lin_ba"],
                              lin_bg=pre["lin_bg"])
         poses = jnp.asarray(np.stack(m.kf_pose[start:end]))
-        init = inertial_init(poses, pre, jnp.float32(self.cfg.g_norm))
+        init = inertial_init(poses, pre, jnp.float32(self.cfg.g_norm),
+                             prior_bg=prior_bg, prior_ba=prior_ba)
+        bg = np.asarray(init.bg)
+        if not np.all(np.isfinite(bg)) or np.linalg.norm(bg) > 0.2:
+            return -1  # unphysical solve — rejected (tools.cpp:59-63)
         align = gravity_alignment(init.rwg, self.cfg.g_norm)
 
         vels = np.asarray(jax.vmap(lambda v: quat_rotate(align, v))(init.vel))
@@ -763,9 +1018,108 @@ class Estimator:
                     iters=4, resolution=self.cfg.resolution, up_axis="z")
             for i in list(self.lidar_mapping.world_ground):
                 self.lidar_mapping.to_world(m, i)
-        self.imu_initialized = True
+        return 1
 
-    def _insert_new_landmarks(self, kf_idx, kf, valid):
+    def _covisibility_reassociate(self, kf_idx, det_px, det_valid, desc,
+                                  desc_ok, pose):
+        """Re-attach new detections to EXISTING landmarks seen by recent
+        same-heading keyframes (local_map.cpp:271-368: covisibility kfs +
+        radius/angle-gated Hamming kNN Search). Without this, a landmark
+        lost by LK is gone forever and a duplicate is minted in its place —
+        a major drift source. Returns the mask of consumed detections.
+
+        All matching runs on the host (numpy XOR + popcount over a few
+        hundred candidates) — the descriptors already came back in the
+        keyframe fetch, so this costs zero extra device round trips."""
+        c = self.cfg
+        m = self.map
+        D = len(det_px)
+        matched = np.zeros(D, bool)
+        if not c.use_covisibility or kf_idx == 0:
+            return matched
+
+        # candidate landmarks: observed by the last covis_kfs keyframes
+        # whose heading is within covis_max_angle, still alive, not
+        # currently tracked, and carrying a descriptor
+        q_new = np.asarray(pose[:4], np.float64)
+        tracked = set(self.feat_lm[self.feat_valid].tolist())
+        cand: dict = {}
+        for g in range(max(0, kf_idx - c.covis_kfs), kf_idx):
+            q = np.asarray(m.kf_pose[g][:4], np.float64)
+            ang = 2.0 * np.degrees(np.arccos(
+                min(1.0, abs(float(np.dot(q_new, q))))))
+            if ang > c.covis_max_angle:
+                continue
+            for i in m.obs_lm[g][m.obs_ok[g]]:
+                i = int(i)
+                if (i not in cand and m.lm_alive[i] and i not in tracked
+                        and m.lm_desc[i] is not None):
+                    cand[i] = True
+        if not cand:
+            return matched
+        cand_ids = np.fromiter(cand.keys(), np.int64)
+
+        # project candidates into the new keyframe (host-side pinhole)
+        from lvio_fusion_tpu.utils import np_se3
+        pw = np.stack([m.lm_world[i] for i in cand_ids])
+        Tcw = np_se3.se3_inv(np_se3.se3_mul(pose, self._cam_np["ext"]))
+        pc = np_se3.se3_apply_batch(Tcw, pw)
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            proj = np.stack([
+                pc[:, 0] / z * self._cam_np["fx"] + self._cam_np["cx"],
+                pc[:, 1] / z * self._cam_np["fy"] + self._cam_np["cy"]],
+                axis=-1)
+        vis = ((z > 0.3) & (proj[:, 0] >= 0) & (proj[:, 0] < c.width)
+               & (proj[:, 1] >= 0) & (proj[:, 1] < c.height))
+        cand_ids, proj = cand_ids[vis], proj[vis]
+        if len(cand_ids) == 0:
+            return matched
+
+        sel = np.where(det_valid & desc_ok)[0]
+        if len(sel) == 0:
+            return matched
+        # radius gate + Hamming distances (Search: ratio 0.8, dist < 50)
+        d2 = np.linalg.norm(det_px[sel][:, None, :] - proj[None, :, :],
+                            axis=-1)
+        cdesc = np.stack([m.lm_desc[i] for i in cand_ids])
+        ham = np.bitwise_count(
+            desc[sel][:, None, :] ^ cdesc[None, :, :]).sum(-1).astype(
+                np.int32)
+        BIG = 10_000
+        dist = np.where(d2 <= c.covis_radius, ham, BIG)
+        best = dist.argmin(1)
+        dbest = dist.min(1)
+        tmp = dist.copy()
+        tmp[np.arange(len(sel)), best] = BIG
+        dsecond = tmp.min(1)
+        good = (dbest < c.covis_max_dist) & (dbest < c.covis_ratio * dsecond)
+
+        # greedy unique assignment (best distance first)
+        order = np.argsort(dbest)
+        used = set()
+        free = list(np.where(~self.feat_valid)[0])
+        for k in order:
+            if not good[k] or not free:
+                continue
+            lid = int(cand_ids[best[k]])
+            if lid in used:
+                continue
+            used.add(lid)
+            d = int(sel[k])
+            matched[d] = True
+            self.map.add_observations(kf_idx, [lid], [det_px[d]])
+            slot = free.pop(0)
+            self.feat_px[slot] = det_px[d]
+            self.feat_lm[slot] = lid
+            self.feat_valid[slot] = True
+        if used:
+            from lvio_fusion_tpu.utils.profiling import COUNTERS
+            COUNTERS["frontend.reassociated"] += len(used)
+        return matched
+
+    def _insert_new_landmarks(self, kf_idx, kf, valid, descs=None,
+                              descs_ok=None):
         """Append triangulated landmarks + claim free feature slots."""
         n_new = int(valid.sum())
         if n_new == 0:
@@ -774,7 +1128,12 @@ class Estimator:
         right_px = np.asarray(kf.new_px_right)[valid]
         inv_d = np.asarray(kf.inv_depth)[valid]
         world = np.asarray(kf.world)[valid]
-        ids = self.map.add_landmarks(kf_idx, right_px, left_px, inv_d, world)
+        dsel = None
+        if descs is not None:
+            dsel = [d if ok else None
+                    for d, ok in zip(descs[valid], descs_ok[valid])]
+        ids = self.map.add_landmarks(kf_idx, right_px, left_px, inv_d, world,
+                                     descs=dsel)
         # the anchor's left-camera pixel is also an observation of this kf
         self.map.add_observations(kf_idx, ids, left_px)
 

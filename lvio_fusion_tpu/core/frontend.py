@@ -48,12 +48,29 @@ class KeyframeResult(NamedTuple):
 
 
 def unpack_keyframe_result(packed):
-    """Host-side unpack of keyframe_step's packed (M, 9) result."""
+    """Host-side unpack of a packed (M, 29) keyframe result:
+    [px_l(2) | px_r(2) | inv_d | world(3) | valid | pb_robot(3) |
+     brief desc as uint16 halves (8 lo + 8 hi) | desc_ok]."""
     packed = np.asarray(packed)
     return KeyframeResult(
         new_px_left=packed[:, 0:2], new_px_right=packed[:, 2:4],
         inv_depth=packed[:, 4], world=packed[:, 5:8],
         valid=packed[:, 8] > 0.5)
+
+
+def unpack_keyframe_desc(packed):
+    """BRIEF descriptors of the new detections from a packed keyframe
+    result: (desc (M, 8) uint32, ok (M,) bool)."""
+    packed = np.asarray(packed)
+    lo = packed[:, 12:20].astype(np.uint32)
+    hi = packed[:, 20:28].astype(np.uint32)
+    return lo | (hi << np.uint32(16)), packed[:, 28] > 0.5
+
+
+def unpack_keyframe_robot(packed):
+    """Robot-frame triangulated points (M, 3) (pose-independent; lets the
+    host re-world detections under a corrected pose)."""
+    return np.asarray(packed)[:, 9:12]
 
 
 def unpack_track_result(packed, n_features: int):
@@ -76,9 +93,7 @@ class FrontendFns(NamedTuple):
     keyframe_step: object  # fused: right pyramid + detect + triangulate
     frame_step_chained: object  # device-resident state chaining
     level0: object         # unpadded full-res level of a chained pyramid
-    make_batch_step: object     # B frames in ONE dispatch (host batching)
-    keyframe_step_at: object    # keyframe stage on one frame of a batch
-    slice_pyr: object           # extract frame i's pyramid from a batch
+    make_batch_kf_step: object  # B frames + speculative kf stage, 1 dispatch
 
 
 def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
@@ -123,7 +138,8 @@ def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
 def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                   levels: int = 4, win: int = 15, max_depth: float = 150.0,
                   min_depth: float = 0.5, cell: int = 30,
-                  occupy_radius: int = 15, lk_iters: int = 6):
+                  occupy_radius: int = 15, lk_iters: int = 6,
+                  remove_moving: bool = True, moving_px: float = 30.0):
     """Build the jitted frontend stage functions for a fixed image size.
 
     The per-frame path (pyramid build + LK + pose refine) is ONE jitted
@@ -147,17 +163,35 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     def preprocess(img_u8):
         return _pyramid(img_u8)
 
+    from lvio_fusion_tpu.models.camera import stereo_baseline
+    baseline = stereo_baseline(cam_left, cam_right)
+
     def _track(pyr_last, pyr_cur, feat_px, feat_valid, lm_world, pose_pred):
         # seed each feature at the projection of its cached world position
         # under the extrapolated pose (frontend.cpp:166-171)
-        seed = jax.vmap(lambda p: cam_left.world2pixel(p, pose_pred))(lm_world)
-        seed = jnp.where(feat_valid[:, None], seed, feat_px)
+        proj = jax.vmap(lambda p: cam_left.world2pixel(p, pose_pred))(lm_world)
+        seed = jnp.where(feat_valid[:, None], proj, feat_px)
         # clamp wild seeds back to the previous location
-        far = jnp.linalg.norm(seed - feat_px, axis=-1) > 100.0
-        seed = jnp.where(far[:, None], feat_px, seed)
+        wild = jnp.linalg.norm(seed - feat_px, axis=-1) > 100.0
+        seed = jnp.where(wild[:, None], feat_px, seed)
         pts, ok = track_bidirectional(pyr_last, pyr_cur, feat_px, seed,
                                       win=win, iters=lk_iters)
         ok = ok & feat_valid
+        if remove_moving:
+            # moving-point rejection (frontend.cpp:195-230): deviation =
+            # predicted - tracked, centered by the MEAN over inliers (the
+            # shared prediction bias), reject near points whose centered
+            # deviation exceeds moving_px; FAR landmarks are exempt (their
+            # projection barely moves, Camera::Far)
+            dev = proj - pts
+            okf = ok.astype(dev.dtype)
+            avg = jnp.sum(dev * okf[:, None], 0) / jnp.maximum(
+                jnp.sum(okf), 1.0)
+            cd = jnp.linalg.norm(dev - avg, axis=-1)
+            depth = jax.vmap(
+                lambda p: cam_left.world2sensor(p, pose_pred)[2])(lm_world)
+            far_lm = depth > 50.0 * baseline
+            ok = ok & (far_lm | (cd < moving_px))
         pose, inliers = pose_only_refine(pose_pred, lm_world, pts, ok,
                                          cam_left)
         return TrackResult(pts, inliers, pose,
@@ -209,10 +243,10 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             r.num_inliers.astype(jnp.float32)[None]])
         return pyr_cur, packed
 
-    @jax.jit
-    def make_keyframe(pyr_left, pyr_right, cur_px, cur_valid, kf_pose):
+    def _make_keyframe(pyr_left, pyr_right, cur_px, cur_valid, kf_pose):
         """Detect fresh corners where no feature lives, stereo-match them
-        left->right, triangulate, return inverse-depth landmarks."""
+        left->right, triangulate, return inverse-depth landmarks (plus the
+        robot-frame triangulated points for host-side re-worlding)."""
         img = _level0(pyr_left)
         mask = occupancy_mask(img.shape, cur_px, cur_valid, occupy_radius)
         new_px, _, det_valid = detect_grid(img, num_features, cell, mask)
@@ -239,46 +273,72 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                  & (depth_r > min_depth) & (depth_r < max_depth))
         inv_depth = 1.0 / jnp.clip(depth_r, min_depth, max_depth)
         world = jax.vmap(lambda p: se3_apply(kf_pose, p))(pb_tri)
-        return KeyframeResult(new_px, right_px, inv_depth, world, valid)
+
+        # BRIEF descriptors for covisibility re-association / relocation
+        # (local_map.cpp mat2brief on the new keyframe's features)
+        from lvio_fusion_tpu.ops.descriptors import brief_descriptors
+        desc, desc_ok = brief_descriptors(img, new_px, det_valid)
+
+        return (KeyframeResult(new_px, right_px, inv_depth, world, valid),
+                pb_tri, desc, desc_ok)
+
+    def _pack_keyframe(r, pb_tri, desc, desc_ok):
+        # descriptors ride the f32 packed array as uint16 halves (exact in
+        # f32; a bitcast could be NaN-canonicalized in transit)
+        lo = (desc & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        hi = (desc >> jnp.uint32(16)).astype(jnp.float32)
+        return jnp.concatenate([
+            r.new_px_left, r.new_px_right, r.inv_depth[:, None], r.world,
+            r.valid.astype(jnp.float32)[:, None], pb_tri, lo, hi,
+            desc_ok.astype(jnp.float32)[:, None]], axis=1)
+
+    def make_keyframe(pyr_left, pyr_right, cur_px, cur_valid, kf_pose):
+        r, _, _, _ = _make_keyframe(pyr_left, pyr_right, cur_px, cur_valid,
+                                    kf_pose)
+        return r
 
     @jax.jit
     def keyframe_step(img_right_u8, pyr_left, cur_px, cur_valid, kf_pose):
         """Fused keyframe stage: right pyramid + detect + stereo +
-        triangulate, one dispatch + ONE packed transfer.
-
-        Returns one f32 array [px_l (M,2) | px_r (M,2) | inv_d (M,1) |
-        world (M,3) | valid (M,1)] of shape (M, 9); unpack with
-        ``unpack_keyframe_result``."""
+        triangulate + BRIEF, one dispatch + ONE packed (M, 29) transfer
+        (unpack with ``unpack_keyframe_result`` / ``..._desc`` /
+        ``..._robot``)."""
         pyr_right = _pyramid(img_right_u8)
-        r = make_keyframe(pyr_left, pyr_right, cur_px, cur_valid, kf_pose)
-        return jnp.concatenate([
-            r.new_px_left, r.new_px_right, r.inv_depth[:, None], r.world,
-            r.valid.astype(jnp.float32)[:, None]], axis=1)
+        r, pb, desc, desc_ok = _make_keyframe(pyr_left, pyr_right, cur_px,
+                                              cur_valid, kf_pose)
+        return _pack_keyframe(r, pb, desc, desc_ok)
 
     _batch_steps = {}
 
-    def make_batch_step(B: int):
-        """Jitted B-frame tracking step: ONE stacked image upload, ONE
-        dispatch, ONE packed fetch for B consecutive frames. Host-side
-        transfers through the TPU tunnel carry a large fixed cost per
-        call (~30-45 ms regardless of payload), so amortizing it over B
-        frames is the single biggest throughput lever (CLAUDE.md round-2
-        priority 1c; matches the reference's never-blocking async backend,
-        backend.cpp:28-40 — keyframe decisions lag by at most B-1 frames).
+    def make_batch_kf_step(B: int):
+        """Jitted B-frame tracking step with a SPECULATIVE keyframe stage:
+        ONE stacked image upload, ONE dispatch, ONE packed fetch for B
+        consecutive frames. Host-side transfers through the TPU tunnel
+        carry a large fixed cost per call (~30-45 ms regardless of
+        payload), so amortizing it over B frames is the single biggest
+        throughput lever. Keyframe decisions lag by at most B-1 frames —
+        the same tolerance the reference's never-blocking async backend
+        exhibits (backend.cpp:28-40).
 
-        Returns (pyrs_stacked, pyr_last, feat_px', feat_valid', pose',
-        relative', packed (B, N*3+8)). pyrs_stacked holds every frame's
-        pyramid (per level: (B, Hl, Wl)) so a keyframe decision at any
-        batch position can run detection on the right image content.
+        The keyframe stage (detect + stereo-match + triangulate on the
+        batch's FINAL frame) runs unconditionally inside the same program:
+        it costs on-device FLOPs but zero extra round trips, and its
+        result is simply discarded when the host decides no keyframe is
+        due. kf_packed rows carry the triangulated point in the ROBOT
+        frame (pose-independent) so the host can re-world them under a
+        corrected pose after LOST recovery or BA.
+
+        Returns (pyr_last, feat_px', feat_valid', pose', relative',
+        packed (B, N*3+8), kf_packed (M, 29)).
         """
         if B in _batch_steps:
             return _batch_steps[B]
 
         @jax.jit
-        def batch_step(imgs_u8, pyr_last, feat_px, feat_valid, lm_world,
-                       pose, relative, ext_preds, use_ext):
+        def batch_kf_step(imgs_u8, img_right_u8, pyr_last, feat_px,
+                          feat_valid, lm_world, pose, relative, ext_preds,
+                          use_ext):
             packed_rows = []
-            pyr_levels = [[] for _ in range(levels)]
             for b in range(B):
                 pyr_cur = _pyramid(imgs_u8[b])
                 pose_pred = jnp.where(use_ext[b], ext_preds[b],
@@ -291,34 +351,16 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                 packed_rows.append(jnp.concatenate([
                     r.pts.reshape(-1), r.ok.astype(jnp.float32), r.pose,
                     r.num_inliers.astype(jnp.float32)[None]]))
-                for lvl in range(levels):
-                    pyr_levels[lvl].append(pyr_cur[lvl])
                 pyr_last = pyr_cur
-            pyrs = [jnp.stack(ls) for ls in pyr_levels]
-            return (pyrs, pyr_last, feat_px, feat_valid, pose, relative,
-                    jnp.stack(packed_rows))
+            pyr_right = _pyramid(img_right_u8)
+            kf, pb_tri, desc, desc_ok = _make_keyframe(
+                pyr_last, pyr_right, feat_px, feat_valid, pose)
+            kf_packed = _pack_keyframe(kf, pb_tri, desc, desc_ok)
+            return (pyr_last, feat_px, feat_valid, pose, relative,
+                    jnp.stack(packed_rows), kf_packed)
 
-        _batch_steps[B] = batch_step
-        return batch_step
-
-    @jax.jit
-    def slice_pyr(pyrs_stacked, i):
-        """Pyramid of frame i from a batch-step output (one dispatch)."""
-        return [jax.lax.dynamic_index_in_dim(l, i, keepdims=False)
-                for l in pyrs_stacked]
-
-    @jax.jit
-    def keyframe_step_at(img_right_u8, pyrs_stacked, i, cur_px, cur_valid,
-                         kf_pose):
-        """keyframe_step on frame i of a batch (pyramid sliced in-program
-        — no extra dispatch)."""
-        pyr_left = [jax.lax.dynamic_index_in_dim(l, i, keepdims=False)
-                    for l in pyrs_stacked]
-        pyr_right = _pyramid(img_right_u8)
-        r = make_keyframe(pyr_left, pyr_right, cur_px, cur_valid, kf_pose)
-        return jnp.concatenate([
-            r.new_px_left, r.new_px_right, r.inv_depth[:, None], r.world,
-            r.valid.astype(jnp.float32)[:, None]], axis=1)
+        _batch_steps[B] = batch_kf_step
+        return batch_kf_step
 
     @jax.jit
     def landmark_world(anchor_poses, first_obs, inv_depths):
@@ -331,4 +373,4 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     return FrontendFns(preprocess, track_frame, make_keyframe,
                        landmark_world, frame_step, keyframe_step,
                        frame_step_chained, jax.jit(_level0),
-                       make_batch_step, keyframe_step_at, slice_pyr)
+                       make_batch_kf_step)

@@ -27,6 +27,10 @@ class HostMap:
         self.kf_preint: List[object] = []  # Preintegration from prev kf (or None)
         self.kf_lidar: List[object] = []   # body-frame feature clouds (or None)
         self.kf_desc: List[object] = []    # BRIEF descriptors (or None)
+        # loop closure anchor: (old_kf_idx, relative SE3 old->this) set by
+        # the relocator after a correction (Frame::loop_closure); navsat
+        # prefers the loop-implied position over the raw GPS fix
+        self.kf_loop: List[object] = []
 
         # landmarks (anchored at a keyframe's right camera)
         self.lm_anchor: List[int] = []        # kf index
@@ -36,6 +40,8 @@ class HostMap:
         self.lm_world: List[np.ndarray] = []  # (3,) cached world position
         self.lm_alive: List[bool] = []
         self.lm_num_obs: List[int] = []
+        self.lm_desc: List[Optional[np.ndarray]] = []  # (8,) uint32 BRIEF
+        # (creation-time descriptor, used by covisibility re-association)
 
         # observations grouped per keyframe (left camera)
         self.obs_lm: List[np.ndarray] = []    # per kf: (n,) int64 landmark ids
@@ -64,6 +70,7 @@ class HostMap:
         self.kf_preint.append(None)
         self.kf_lidar.append(None)
         self.kf_desc.append(None)
+        self.kf_loop.append(None)
         self.obs_lm.append(np.zeros(0, np.int64))
         self.obs_px.append(np.zeros((0, 2), np.float32))
         self.obs_ok.append(np.zeros(0, bool))
@@ -76,8 +83,10 @@ class HostMap:
         return len(self.lm_anchor)
 
     def add_landmarks(self, anchor_kf: int, first_obs, left_obs, inv_depths,
-                      worlds) -> np.ndarray:
-        """Append a batch; returns the new global landmark ids."""
+                      worlds, descs=None) -> np.ndarray:
+        """Append a batch; returns the new global landmark ids.
+        ``descs``: optional sequence of (8,) uint32 BRIEF descriptors
+        (None entries mean 'no descriptor')."""
         n = len(inv_depths)
         start = self.num_landmarks
         self.lm_anchor.extend([anchor_kf] * n)
@@ -87,6 +96,12 @@ class HostMap:
         self.lm_world.extend(np.asarray(worlds, np.float32))
         self.lm_alive.extend([True] * n)
         self.lm_num_obs.extend([0] * n)
+        if descs is None:
+            self.lm_desc.extend([None] * n)
+        else:
+            self.lm_desc.extend(
+                None if d is None else np.asarray(d, np.uint32)
+                for d in descs)
         return np.arange(start, start + n, dtype=np.int64)
 
     def add_observations(self, kf_idx: int, lm_ids, pixels):

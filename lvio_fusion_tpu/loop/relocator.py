@@ -205,6 +205,14 @@ class Relocator:
             jnp.asarray(best), se3_inv(jnp.asarray(m.kf_pose[best_kf]))))
         pose_graph._apply_rigid(m, transform, start_idx, end_idx + 1)
 
+        # record loop anchors (Frame::loop_closure): each submap kf is tied
+        # to the old frame by its post-correction relative pose, so navsat
+        # can prefer loop-implied positions (navsat.cpp:43-57 GetFixPoint)
+        from lvio_fusion_tpu.utils import np_se3
+        inv_old = np_se3.se3_inv(m.kf_pose[old_idx])
+        for i in range(start_idx, end_idx + 1):
+            m.kf_loop[i] = (old_idx, np_se3.se3_mul(inv_old, m.kf_pose[i]))
+
         # pose-graph solve over sections strictly between old and submap
         sections = pose_graph.get_sections(m, old_idx + 1,
                                            max(start_idx - 1, old_idx + 1))

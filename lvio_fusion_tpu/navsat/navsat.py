@@ -79,9 +79,15 @@ class Navsat:
             self.kf_fix[i] = (P[j] * t1 + P[j - 1] * t2) / max(t1 + t2, 1e-9)
             self._kf_done += 1
 
-    def get_point(self, kf_idx: int) -> Optional[np.ndarray]:
-        """Fix point in map frame for a keyframe."""
+    def get_point(self, kf_idx: int, m=None) -> Optional[np.ndarray]:
+        """Fix point in map frame for a keyframe. A keyframe tied to a
+        loop closure uses the LOOP-implied position instead of the raw GPS
+        fix (navsat.cpp:43-57 GetFixPoint) — GNSS refinement must not pull
+        a relocalized frame away from its loop anchor."""
         from lvio_fusion_tpu.utils import np_se3
+        if m is not None and m.kf_loop[kf_idx] is not None:
+            old_idx, rel = m.kf_loop[kf_idx]
+            return np_se3.se3_mul(m.kf_pose[old_idx], rel)[4:].copy()
         f = self.kf_fix.get(kf_idx)
         if f is None:
             return None
@@ -89,8 +95,14 @@ class Navsat:
 
     # ---------------- initialization ----------------
 
+    INIT_CAP = 256
+
     def initialize(self, m) -> bool:
-        """Fit the ENU->map extrinsic: yaw first, then yaw + xy."""
+        """Fit the ENU->map extrinsic in two passes (navsat.cpp:100-133):
+        a closed-form yaw Procrustes seeds a full 6-DoF GN refinement
+        (the reference's second DENSE_QR solve over all axes) — required
+        when the ENU frame is pitched/rolled relative to the visual map
+        (pre-gravity-alignment maps, sloped starts)."""
         ids = sorted(self.kf_fix)
         if len(ids) < 5:
             return False
@@ -100,7 +112,7 @@ class Navsat:
         if span < self.trust_pitch:
             return False
 
-        # closed-form horizontal Procrustes (yaw) + translation
+        # pass 1: closed-form horizontal Procrustes (yaw) + translation
         mu_k, mu_r = kf_p.mean(0), raw.mean(0)
         K2, R2 = kf_p[:, :2] - mu_k[:2], raw[:, :2] - mu_r[:2]
         C = K2.T @ R2
@@ -111,8 +123,18 @@ class Navsat:
         txy = mu_k[:2] - Rz @ mu_r[:2]
         tz = (kf_p[:, 2] - raw[:, 2]).mean()
         q = np.array([np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)])
-        self.extrinsic = np.concatenate(
-            [q, [txy[0], txy[1], tz]]).astype(np.float32)
+        ext = np.concatenate([q, [txy[0], txy[1], tz]]).astype(np.float32)
+
+        # pass 2: full 6-DoF GN from the yaw seed
+        n = min(len(ids), self.INIT_CAP)
+        rbuf = np.zeros((self.INIT_CAP, 3), np.float32)
+        kbuf = np.zeros((self.INIT_CAP, 3), np.float32)
+        vbuf = np.zeros(self.INIT_CAP, bool)
+        rbuf[:n], kbuf[:n], vbuf[:n] = raw[:n], kf_p[:n], True
+        ext = np.asarray(_init_refine(
+            jnp.asarray(ext), jnp.asarray(rbuf), jnp.asarray(kbuf),
+            jnp.asarray(vbuf.astype(np.float32)))).astype(np.float32)
+        self.extrinsic = ext
         self.initialized = True
         return True
 
@@ -130,7 +152,7 @@ class Navsat:
         inv = np_se3.se3_inv(base)
         for s, i in enumerate(ids[:n]):
             rel_p[s] = np_se3.se3_apply(inv, m.kf_pose[i][4:])
-            fixp[s] = self.get_point(i)
+            fixp[s] = self.get_point(i, m)
             valid[s] = True
         return (jnp.asarray(base), jnp.asarray(rel_p), jnp.asarray(fixp),
                 jnp.asarray(valid))
@@ -205,7 +227,7 @@ class Navsat:
         zB = m.kf_pose[section.B][6]
         for s, i in enumerate(ids):
             poses[s] = m.kf_pose[i]
-            p = self.get_point(i)
+            p = self.get_point(i, m)
             if p is not None:
                 a = s / max(n - 1, 1)
                 fixp[s] = [p[0], p[1], (1 - a) * zA + a * zB]
@@ -232,6 +254,32 @@ class Navsat:
 
 
 from functools import partial
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _init_refine(ext0, raw, kf_p, valid, iters: int = 8):
+    """Full 6-DoF GN on the ENU->map extrinsic: min sum over keyframes of
+    || exp(xi) * ext0 applied to raw_i - kf_p_i ||^2 (Huber 2 m). This is
+    the reference's second DENSE_QR pass over all axes."""
+
+    def residual(xi, w):
+        T = se3_boxplus(ext0, xi)
+        pred = jax.vmap(lambda p: se3_apply(T, p))(raw)
+        return ((pred - kf_p) * w[:, None]).reshape(-1)
+
+    def gn(xi, _):
+        pred = jax.vmap(lambda p: se3_apply(se3_boxplus(ext0, xi), p))(raw)
+        n = jnp.linalg.norm(pred - kf_p, axis=-1) + 1e-9
+        w = valid * jnp.sqrt(jnp.minimum(1.0, 2.0 / n))
+        r = residual(xi, w)
+        J = jax.jacfwd(residual)(xi, w)
+        H = J.T @ J + 1e-5 * jnp.eye(6)
+        dx = jnp.linalg.solve(H, -J.T @ r)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        return xi + dx, None
+
+    xi, _ = jax.lax.scan(gn, jnp.zeros(6), None, length=iters)
+    return se3_boxplus(ext0, xi)
 
 
 @partial(jax.jit, static_argnames=("iters",))

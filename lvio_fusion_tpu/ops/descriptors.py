@@ -29,11 +29,14 @@ PATCH = 31
 
 @functools.lru_cache()
 def _pattern():
-    """Fixed gaussian test pattern (BRIEF-31), seeded for determinism."""
+    """Fixed gaussian test pattern (BRIEF-31), seeded for determinism.
+
+    Cached as NUMPY: caching a jnp array here would capture a tracer when
+    the first call happens inside a jit trace (it did)."""
     rng = np.random.default_rng(1234)
     p = rng.normal(0.0, PATCH / 5.0, (N_BITS, 2, 2)).clip(
         -(PATCH // 2), PATCH // 2)
-    return jnp.asarray(p, jnp.float32)  # (256, 2 endpoints, xy)
+    return np.asarray(p, np.float32)  # (256, 2 endpoints, xy)
 
 
 def brief_descriptors(img, pts, valid):
@@ -44,7 +47,7 @@ def brief_descriptors(img, pts, valid):
     """
     H, W = img.shape
     blurred = gaussian_blur5(gaussian_blur5(img))
-    pat = _pattern()  # (256, 2, 2)
+    pat = jnp.asarray(_pattern())  # (256, 2, 2)
     # sample both endpoints of every test for every keypoint
     coords = pts[:, None, None, :] + pat[None, :, :, :]  # (N, 256, 2, 2)
     vals = bilinear_sample(blurred, coords)  # (N, 256, 2)

@@ -42,8 +42,10 @@ class RangeImage(NamedTuple):
 
 
 def project(points, mask, num_scans: int, horizon_scan: int,
-            ang_res_y: float, ang_bottom: float):
-    """Scatter (N, 3) sensor-frame points into the range image."""
+            ang_res_y: float, ang_bottom: float, aux=None):
+    """Scatter (N, 3) sensor-frame points into the range image.
+    ``aux``: optional (N,) per-point attribute scattered alongside
+    (last-write, like the coordinates)."""
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
     rxy = jnp.sqrt(x * x + y * y)
     rng = jnp.sqrt(x * x + y * y + z * z)
@@ -73,7 +75,12 @@ def project(points, mask, num_scans: int, horizon_scan: int,
     pimg = pimg.at[flat].set(jnp.where(ok[:, None], points, 0.0))
     pimg = pimg[:-1].reshape(num_scans, horizon_scan, 3)
     valid = rimg < INVALID_RANGE * 0.5
-    return rimg, pimg, valid
+    if aux is None:
+        return rimg, pimg, valid
+    aimg = jnp.zeros((num_scans * horizon_scan + 1,), aux.dtype)
+    aimg = aimg.at[flat].set(jnp.where(ok, aux, 0.0))
+    aimg = aimg[:-1].reshape(num_scans, horizon_scan)
+    return rimg, pimg, valid, aimg
 
 
 def remove_ground(rimg, pimg, valid, ground_rows: int,
@@ -233,9 +240,10 @@ def curvature(rimg, use_mask):
 
 
 def voxel_downsample(points, valid, resolution: float, max_out: int,
-                     hash_bits: int = 18):
+                     hash_bits: int = 18, return_index: bool = False):
     """Keep one point per voxel (hash-grid, collision-tolerant), padded to
-    max_out with a validity mask."""
+    max_out with a validity mask. With ``return_index`` also returns the
+    source index of each kept point (for gathering per-point attributes)."""
     q = jnp.floor(points / resolution).astype(jnp.int32)
     h = (q[:, 0] * 73856093 ^ q[:, 1] * 19349663 ^ q[:, 2] * 83492791)
     h = (h & (2 ** hash_bits - 1)).astype(jnp.int32)
@@ -248,6 +256,8 @@ def voxel_downsample(points, valid, resolution: float, max_out: int,
     rank = jnp.argsort(~keep)  # stable: kept first
     sel = order[rank[:max_out]]
     out_valid = keep[rank[:max_out]]
+    if return_index:
+        return points[sel], out_valid, sel
     return points[sel], out_valid
 
 
@@ -275,12 +285,18 @@ def count_neighbors(points, valid, radius: float, hash_bits: int = 18):
 
 
 class LidarFeatures(NamedTuple):
-    ground: jnp.ndarray        # (Gmax, 3) sensor frame
+    ground: jnp.ndarray        # (Gmax, 3)
     ground_valid: jnp.ndarray  # (Gmax,)
-    ground_time: jnp.ndarray   # (Gmax,) relative time
+    ground_time: jnp.ndarray   # (Gmax,) time offset from the kf (seconds)
     surf: jnp.ndarray          # (Smax, 3)
     surf_valid: jnp.ndarray    # (Smax,)
     surf_time: jnp.ndarray     # (Smax,)
+
+
+class FeatureExtractor(NamedTuple):
+    single: object    # extract(points, mask) -> sensor-frame features
+    stitched: object  # extract(points, mask, tbase, xi, ext) -> robot-frame
+    # deskewed features from a two-scan window centered on the keyframe
 
 
 def make_feature_extractor(num_scans: int, horizon_scan: int,
@@ -288,40 +304,80 @@ def make_feature_extractor(num_scans: int, horizon_scan: int,
                            ground_rows: int, min_range: float,
                            max_range: float, resolution: float,
                            max_ground: int = 2048, max_surf: int = 2048,
-                           curvature_thresh: float = 1.0):
-    """Build the jitted scan -> (ground, surf) feature extractor."""
+                           curvature_thresh: float = 1.0,
+                           cycle_time: float = 0.1036):
+    """Build the jitted scan -> (ground, surf) feature extractors.
 
-    @jax.jit
-    def extract(points, mask):
+    ``single`` processes one raw scan in the sensor frame (legacy path).
+    ``stitched`` rebuilds a full revolution centered on the KEYFRAME time
+    from two consecutive raw scans (reference AlignScan,
+    association.cpp:40-63), motion-DESKEWS every feature to the keyframe
+    instant using the body twist ``xi`` (UndistortPoint,
+    association.cpp:65-83 — per-point pose interpolation by azimuth time),
+    and returns features already in the ROBOT frame (fusing the
+    Sensor2Robot transform, association.cpp:236-247, into the same
+    program)."""
+
+    def _extract_core(points, mask, toff):
+        """Common pipeline; toff = per-point time offset from the target
+        instant (seconds; zeros when deskew is unused)."""
         rng_n = jnp.linalg.norm(points, axis=-1)
         mask = mask & (rng_n > min_range) & (rng_n < max_range) \
             & jnp.all(jnp.isfinite(points), axis=-1)
-        rimg, pimg, valid = project(points, mask, num_scans, horizon_scan,
-                                    ang_res_y, ang_bottom)
+        rimg, pimg, valid, timg = project(points, mask, num_scans,
+                                          horizon_scan, ang_res_y,
+                                          ang_bottom, aux=toff)
         ground = remove_ground(rimg, pimg, valid, ground_rows)
         lab, seg_ok = segment(rimg, valid, ground, ang_res_y=ang_res_y)
-        rel = relative_time(pimg, valid)
 
         curv = curvature(rimg, seg_ok | ground)
         surf_px = seg_ok & (curv < curvature_thresh)
 
         flat_p = pimg.reshape(-1, 3)
-        flat_rel = rel.reshape(-1)
-        g_pts, g_valid = voxel_downsample(
-            flat_p, ground.reshape(-1), 2 * resolution, max_ground)
-        s_pts, s_valid = voxel_downsample(
-            flat_p, surf_px.reshape(-1), 2 * resolution, max_surf)
+        flat_t = timg.reshape(-1)
+        g_pts, g_valid, g_sel = voxel_downsample(
+            flat_p, ground.reshape(-1), 2 * resolution, max_ground,
+            return_index=True)
+        s_pts, s_valid, s_sel = voxel_downsample(
+            flat_p, surf_px.reshape(-1), 2 * resolution, max_surf,
+            return_index=True)
         # radius outlier removal on surf (association.cpp:219-224)
         nb = count_neighbors(s_pts, s_valid, 4 * resolution)
         s_valid = s_valid & (nb >= 4)
-
-        # relative times: re-derive from azimuth of the kept points
-        def tof(p, v):
-            az = -jnp.arctan2(p[:, 1], p[:, 0])
-            return jnp.where(v, (az + jnp.pi) / (2 * jnp.pi), 0.0)
-
         return LidarFeatures(
-            ground=g_pts, ground_valid=g_valid, ground_time=tof(g_pts, g_valid),
-            surf=s_pts, surf_valid=s_valid, surf_time=tof(s_pts, s_valid))
+            ground=g_pts, ground_valid=g_valid, ground_time=flat_t[g_sel],
+            surf=s_pts, surf_valid=s_valid, surf_time=flat_t[s_sel])
 
-    return extract
+    @jax.jit
+    def extract_single(points, mask):
+        zeros = jnp.zeros(points.shape[0], points.dtype)
+        return _extract_core(points, mask, zeros)
+
+    @jax.jit
+    def extract_stitched(points, mask, tbase, xi, ext):
+        """points (P, 3) sensor frame from TWO consecutive scans; tbase
+        (P,) = scan start time minus keyframe time; xi (6,) body twist
+        [phi, rho] per second; ext (7,) sensor->robot SE3."""
+        from lvio_fusion_tpu.geometry.se3 import se3_apply, se3_exp
+
+        # per-point absolute offset from the keyframe instant
+        az = -jnp.arctan2(points[:, 1], points[:, 0])
+        rel = (az + jnp.pi) / (2 * jnp.pi)
+        toff = tbase + rel * cycle_time
+        # full-revolution window centered on the keyframe (AlignScan)
+        mask = mask & (toff >= -0.5 * cycle_time) & (toff < 0.5 * cycle_time)
+        f = _extract_core(points, mask, toff)
+
+        def deskew(p, t, v):
+            # robot-frame, moved to the keyframe instant:
+            # p' = exp(xi * t) * ext * p  (garbage rows pinned to 0)
+            pb = se3_apply(se3_exp(xi * t), se3_apply(ext, p))
+            return jnp.where(v, pb, 0.0)
+
+        g = jax.vmap(deskew)(f.ground, f.ground_time, f.ground_valid)
+        s = jax.vmap(deskew)(f.surf, f.surf_time, f.surf_valid)
+        return LidarFeatures(ground=g, ground_valid=f.ground_valid,
+                             ground_time=f.ground_time, surf=s,
+                             surf_valid=f.surf_valid, surf_time=f.surf_time)
+
+    return FeatureExtractor(single=extract_single, stitched=extract_stitched)

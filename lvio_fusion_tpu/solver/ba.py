@@ -210,8 +210,16 @@ def make_window_ba(cam_left, cam_right, num_iters: int = 8, use_imu: bool = Fals
     Returns solve(params, visual_tables, prior_tables, kf_valid,
                   kf_fixed, imu_tables=None) -> (BAParams, cost), or — with
     ``packed=True`` — ONE flat f32 array
-    [poses (K*7) | vel (K*3) | bias (K*6) | inv_depth (L) | cost] so the
-    host pays a single device->host transfer (see unpack_ba_result).
+    [poses (K*7) | vel (K*3) | bias (K*6) | inv_depth (L) |
+     lm_world (L*3) | obs_err (F) | po_err (G) | cost]
+    so the host pays a single device->host transfer (see unpack_ba_result).
+
+    The packed epilogue fuses what the reference backend does as separate
+    passes after Ceres returns — refreshing landmark world caches
+    (Frontend::UpdateCache, frontend.cpp:306-324) and measuring
+    reprojection errors for outlier rejection (backend.cpp:229-245) —
+    into the SAME program, so the whole keyframe solve costs one
+    dispatch + one fetch through the device tunnel.
     """
 
     def build(params, vt, pt, p_valid, l_valid, imu_tables):
@@ -262,16 +270,28 @@ def make_window_ba(cam_left, cam_right, num_iters: int = 8, use_imu: bool = Fals
             num_iters=num_iters,
         )
         if packed:
+            from lvio_fusion_tpu.geometry.se3 import se3_apply
             p = res.params
+            # --- fused epilogue (world cache + outlier errors) ---
+            pb = jax.vmap(lambda ob, d: cam_right.pixel2robot(
+                ob, 1.0 / jnp.maximum(d, 1e-5)))(vt.lm_first_ob, p.inv_depth)
+            lm_world = jax.vmap(se3_apply)(p.poses[vt.lm_anchor], pb)
+            pred_tf = jax.vmap(lambda w, T: cam_left.world2pixel(w, T))(
+                lm_world[vt.obs_lm], p.poses[vt.obs_frame])
+            obs_err = jnp.linalg.norm(pred_tf - vt.obs_pixel, axis=-1)
+            pred_po = jax.vmap(lambda w, T: cam_left.world2pixel(w, T))(
+                vt.po_pw, p.poses[vt.po_frame])
+            po_err = jnp.linalg.norm(pred_po - vt.po_pixel, axis=-1)
             return jnp.concatenate([
                 p.poses.reshape(-1), p.vel.reshape(-1), p.bias.reshape(-1),
-                p.inv_depth, res.cost[None]])
+                p.inv_depth, lm_world.reshape(-1), obs_err, po_err,
+                res.cost[None]])
         return res.params, res.cost
 
     return solve
 
 
-def unpack_ba_result(flat, K: int, L: int):
+def unpack_ba_result(flat, K: int, L: int, F: int = 0, G: int = 0):
     """Host-side unpack of the packed window-BA result (numpy)."""
     import numpy as np
     flat = np.asarray(flat)
@@ -279,5 +299,9 @@ def unpack_ba_result(flat, K: int, L: int):
     vel = flat[K * 7:K * 10].reshape(K, 3)
     bias = flat[K * 10:K * 16].reshape(K, 6)
     inv_depth = flat[K * 16:K * 16 + L]
+    o = K * 16 + L
+    lm_world = flat[o:o + L * 3].reshape(L, 3)
+    obs_err = flat[o + L * 3:o + L * 3 + F]
+    po_err = flat[o + L * 3 + F:o + L * 3 + F + G]
     cost = float(flat[-1])
-    return poses, vel, bias, inv_depth, cost
+    return poses, vel, bias, inv_depth, lm_world, obs_err, po_err, cost

@@ -54,3 +54,29 @@ def se3_inv(T):
 def se3_apply(T, p):
     return (quat_rotate(T[:4], p) + np.asarray(T[4:], np.float64)
             ).astype(np.float32)
+
+
+def se3_twist(T, dt):
+    """Approximate body twist [phi, rho] per second from a small relative
+    SE3 over ``dt`` seconds (small-angle: V ~ I, so rho ~ translation)."""
+    q = np.asarray(T[:4], np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    if q[0] < 0:
+        q = -q
+    s = np.linalg.norm(q[1:])
+    ang = 2.0 * np.arctan2(s, q[0])
+    phi = (q[1:] / s * ang) if s > 1e-9 else np.zeros(3)
+    xi = np.concatenate([phi, np.asarray(T[4:], np.float64)])
+    return (xi / max(float(dt), 1e-6)).astype(np.float32)
+
+
+def se3_apply_batch(T, pts):
+    """Apply ONE SE3 to (N, 3) points (rotation-matrix form)."""
+    w, x, y, z = np.asarray(T[:4], np.float64)
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    return (np.asarray(pts, np.float64) @ R.T
+            + np.asarray(T[4:], np.float64)).astype(np.float32)

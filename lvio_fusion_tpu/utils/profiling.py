@@ -53,3 +53,7 @@ class StageTimers:
 
 
 TIMERS = StageTimers()
+
+# process-wide event counters (e.g. observations skipped by fixed-capacity
+# truncation — recorded rather than silently dropped)
+COUNTERS: Dict[str, int] = defaultdict(int)

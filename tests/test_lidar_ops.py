@@ -110,7 +110,7 @@ def test_full_feature_extractor():
         R_SCANS, C_SCAN, ANG_RES_Y, ANG_BOTTOM, GROUND_ROWS,
         min_range=1.0, max_range=50.0, resolution=0.2,
         max_ground=512, max_surf=512)
-    f = extract(pts, jnp.ones(pts.shape[0], bool))
+    f = extract.single(pts, jnp.ones(pts.shape[0], bool))
     ng, ns = int(f.ground_valid.sum()), int(f.surf_valid.sum())
     print("ground:", ng, "surf:", ns)
     assert ng > 50, "too few ground features"
