@@ -19,7 +19,8 @@ def main():
     from lvio_fusion_tpu.datasets.synthetic import make_sequence
 
     H, W = int(os.environ.get("BENCH_H", 376)), int(os.environ.get("BENCH_W", 1241))
-    n_frames = int(os.environ.get("BENCH_FRAMES", 42))
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 64))
     # dense blob field: KITTI-like feature richness (several hundred
     # trackable points per frame) so keyframe cadence is representative
     seq = make_sequence(num_frames=n_frames, H=H, W=W, num_points=3000,
@@ -28,11 +29,12 @@ def main():
         height=H, width=W, num_features=400, num_features_init=50,
         num_features_tracking_bad=20, num_features_needed_for_keyframe=120,
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
-        ba_iters=5, frame_batch=int(os.environ.get("BENCH_BATCH", 4)))
+        ba_iters=5, frame_batch=batch)
 
     # warmup on the SAME estimator (each Estimator instance creates fresh
-    # jit closures, so a second instance would recompile everything)
-    warm = 12
+    # jit closures, so a second instance would recompile everything);
+    # cover >= 2 batch flushes incl. the first keyframe + BA compile
+    warm = max(12, 2 * batch + 4)
     est = Estimator(seq.cam_left, seq.cam_right, cfg)
     for fr in seq.frames[:warm]:
         est.input_image(fr.time, fr.left, fr.right)

@@ -21,3 +21,11 @@ import jax  # noqa: E402
 # override it back after import so tests run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# persistent compilation cache: the suite is dominated by XLA compiles of
+# the big pipeline programs; caching them across runs cuts the wall time
+# from ~20 min to a few minutes on warm runs
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

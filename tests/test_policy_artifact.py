@@ -1,0 +1,76 @@
+"""The shipped TD3 policy artifact (misc/td3_policy.pkl — the analogue of
+the reference's misc/td3.pt): it must load and score at least as well as
+the fixed default weights on a held-out drifted environment."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ART = os.path.join(os.path.dirname(__file__), "..", "misc",
+                   "td3_policy.pkl")
+
+
+@pytest.mark.skipif(not os.path.exists(ART),
+                    reason="policy artifact not built yet")
+def test_shipped_policy_loads_and_beats_default_weights():
+    from lvio_fusion_tpu.adapt.agent import Agent, load_policy
+    from lvio_fusion_tpu.adapt.environment import VectorEnv, tables_from_map
+    from lvio_fusion_tpu.adapt.td3 import TD3
+    from lvio_fusion_tpu.core.estimator import Estimator, EstimatorConfig
+    from lvio_fusion_tpu.datasets.synthetic import make_sequence
+
+    seq = make_sequence(num_frames=30, H=240, W=360, num_points=400, seed=5)
+    cfg = EstimatorConfig(
+        height=240, width=360, num_features=200, num_features_init=30,
+        num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
+        window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
+        ba_iters=5, cell=24, occupy_radius=10)
+    est = Estimator(seq.cam_left, seq.cam_right, cfg)
+    for fr in seq.frames:
+        est.input_image(fr.time, fr.left, fr.right)
+    est.finalize()
+
+    # held-out drift realization the policy never trained on
+    tables = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
+                             est.cam_right, height=240, width=360,
+                             drift=0.05, drift_seed=9)
+    env = VectorEnv(tables, est.cam_left, num_envs=8, horizon=8)
+    agent = load_policy(TD3(seed=0), ART)
+
+    # weights inference path (Agent::UpdateWeights)
+    w = Agent(agent).update_weights(np.zeros((4, 12, 3), np.float32))
+    assert w.shape == (3,) and np.all(np.isfinite(w))
+
+    def rollout(policy_fn, seed):
+        key = jax.random.PRNGKey(seed)
+        state, obs = env.reset(key)
+        obs = obs.reshape(obs.shape[0], -1)
+        total, steps = 0.0, 0
+        for _ in range(env.horizon):
+            act = policy_fn(obs)
+            state, obs, rew, done = env.step(state, act)
+            obs = obs.reshape(obs.shape[0], -1)
+            total += float(rew.mean())
+            steps += 1
+        return total / steps
+
+    # default-weight baseline: the constant action whose weights are the
+    # per-frame defaults (visual=fx/10, ground=1, surf=0.01)
+    from lvio_fusion_tpu.adapt.observation import (
+        WEIGHT_HIGH, WEIGHT_LOW, default_weights,
+    )
+    dw = np.asarray(default_weights(float(est.cam_left.fx)))
+    a_def = 2.0 * (dw - WEIGHT_LOW) / (WEIGHT_HIGH - WEIGHT_LOW) - 1.0
+    a_def = jnp.asarray(np.clip(a_def, -1, 1))
+
+    r_policy = np.mean([rollout(
+        lambda o: agent.act(agent.state.actor, o), s) for s in (0, 1, 2)])
+    r_default = np.mean([rollout(
+        lambda o: jnp.broadcast_to(a_def, (env.B, 3)), s)
+        for s in (0, 1, 2)])
+    print(f"policy reward {r_policy:.3f} vs default {r_default:.3f}")
+    assert r_policy >= 0.95 * r_default, \
+        f"trained policy underperforms defaults: {r_policy} < {r_default}"
