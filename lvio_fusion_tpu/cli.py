@@ -136,6 +136,11 @@ def cmd_run(args):
     for t, left, right in stream:
         est.input_image(t, left, right)
         n += 1
+        if args.overlay_dir and n % max(args.overlay_every, 1) == 0:
+            # tracking-feature overlay (the reference's imshow("tracking"))
+            from lvio_fusion_tpu.utils.viz import save_overlay
+            save_overlay(f"{args.overlay_dir}/frame_{n:06d}.png", left,
+                         est.feat_px, est.feat_valid)
         if n % 50 == 0:
             fps = n / (_time.perf_counter() - t0)
             print(f"frame {n}: {fps:.2f} fps, kfs={est.map.num_kfs}",
@@ -256,6 +261,10 @@ def main(argv=None):
                         "keyframe decisions lag by batch-1 frames)")
     r.add_argument("--stats", action="store_true",
                    help="print per-stage timing (glog-style observability)")
+    r.add_argument("--overlay-dir", default="",
+                   help="dump tracking-feature overlay PNGs here (the "
+                        "reference's live imshow view, offline)")
+    r.add_argument("--overlay-every", type=int, default=10)
     r.set_defaults(fn=cmd_run)
 
     t = sub.add_parser("train-rl", help="train the TD3 weight policy")

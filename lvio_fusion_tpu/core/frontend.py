@@ -249,7 +249,11 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         robot-frame triangulated points for host-side re-worlding)."""
         img = _level0(pyr_left)
         mask = occupancy_mask(img.shape, cur_px, cur_valid, occupy_radius)
-        new_px, _, det_valid = detect_grid(img, num_features, cell, mask)
+        # multi-scale response (extractor.cpp detects on all pyramid levels)
+        from lvio_fusion_tpu.ops.detect import pyramid_score
+        score = pyramid_score(list(pyr_left), levels_used=min(3, levels))
+        new_px, _, det_valid = detect_grid(img, num_features, cell, mask,
+                                           score=score)
 
         # seed the right-image search at a far-depth projection
         # (local_map.cpp triangulation seeding trick)

@@ -1,4 +1,4 @@
-"""BRIEF binary descriptors + Hamming matching.
+"""Steered BRIEF (ORB-style) binary descriptors + Hamming matching.
 
 TPU-native equivalent of the reference's ORB/BRIEF machinery
 (extractor.cpp descriptor stage + local_map.cpp mat2brief / Hamming kNN
@@ -7,10 +7,10 @@ keypoint, bit-packed into 8 uint32 words; matching is a broadcasted
 XOR + SWAR popcount, with the same ratio/abs-distance gates
 (local_map.cpp Search: ratio 0.8, dist < 50).
 
-Rotation invariance (ORB's intensity-centroid steering) is intentionally
-omitted: descriptors are only used for loop-closure relocation between
-same-heading revisits (upright vehicle), where unsteered BRIEF holds up.
-"""
+Rotation invariance: each keypoint's test pattern is steered by its
+intensity-centroid angle (extractor.cpp:66-93 ICAngle), computed from the
+first image moments over a circular patch — one fused gather per
+keypoint, no per-level loops."""
 
 from __future__ import annotations
 
@@ -39,8 +39,29 @@ def _pattern():
     return np.asarray(p, np.float32)  # (256, 2 endpoints, xy)
 
 
+@functools.lru_cache()
+def _ic_offsets():
+    """Circular-patch offsets for the intensity-centroid angle (cached as
+    numpy; a cached jnp array would capture a tracer)."""
+    r = PATCH // 2
+    ys, xs = np.mgrid[-r:r + 1, -r:r + 1]
+    keep = xs * xs + ys * ys <= r * r
+    return np.stack([xs[keep], ys[keep]], -1).astype(np.float32)  # (P, 2)
+
+
+def ic_angles(blurred, pts):
+    """Intensity-centroid orientation per keypoint (ICAngle,
+    extractor.cpp:66-93): theta = atan2(m01, m10) over a circular patch."""
+    off = jnp.asarray(_ic_offsets())  # (P, 2)
+    coords = pts[:, None, :] + off[None, :, :]  # (N, P, 2)
+    vals = bilinear_sample(blurred, coords)     # (N, P)
+    m10 = jnp.sum(vals * off[None, :, 0], axis=-1)
+    m01 = jnp.sum(vals * off[None, :, 1], axis=-1)
+    return jnp.arctan2(m01, m10)
+
+
 def brief_descriptors(img, pts, valid):
-    """Compute descriptors at pts (N, 2) on a blurred image.
+    """Compute steered descriptors at pts (N, 2) on a blurred image.
 
     Returns (desc (N, 8) uint32, ok (N,) bool) — ok requires the whole
     pattern window inside the image.
@@ -48,15 +69,22 @@ def brief_descriptors(img, pts, valid):
     H, W = img.shape
     blurred = gaussian_blur5(gaussian_blur5(img))
     pat = jnp.asarray(_pattern())  # (256, 2, 2)
+    # steer the pattern by each keypoint's intensity-centroid angle
+    theta = ic_angles(blurred, pts)            # (N,)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    R = jnp.stack([jnp.stack([c, -s], -1),
+                   jnp.stack([s, c], -1)], -2)  # (N, 2, 2)
+    pat_r = jnp.einsum("nij,ptj->npti", R, pat)  # (N, 256, 2, 2)
     # sample both endpoints of every test for every keypoint
-    coords = pts[:, None, None, :] + pat[None, :, :, :]  # (N, 256, 2, 2)
+    coords = pts[:, None, None, :] + pat_r      # (N, 256, 2, 2)
     vals = bilinear_sample(blurred, coords)  # (N, 256, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (N, 256)
     weights = jnp.left_shift(
         jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
     words = jnp.sum(bits.reshape(-1, N_WORDS, 32) * weights[None, None, :],
                     axis=-1, dtype=jnp.uint32)
-    half = PATCH // 2 + 2
+    # steered tests can reach sqrt(2) x the per-axis pattern radius
+    half = int(PATCH // 2 * 1.5) + 2
     ok = (valid & (pts[:, 0] >= half) & (pts[:, 0] < W - half)
           & (pts[:, 1] >= half) & (pts[:, 1] < H - half))
     return words, ok

@@ -48,15 +48,38 @@ def occupancy_mask(shape, pts, valid, radius: int):
     return occ < 0.5
 
 
+def pyramid_score(pyr, levels_used: int = 3):
+    """Combined multi-scale corner score at level-0 resolution: per-level
+    Shi-Tomasi + NMS, nearest-neighbor upsampled, elementwise max.
+
+    The reference detects FAST corners on every pyramid level
+    (extractor.cpp ComputeKeyPointsQuadTree over nlevels=4); here the
+    per-level responses compete in one level-0 score map so the
+    cell-balanced top-N picks the strongest scale per region. Coarse
+    levels respond to large-scale structure that level 0 misses (blur
+    attenuates fine texture), giving the same scale-coverage goal without
+    per-level keypoint lists."""
+    H, W = pyr[0].shape
+    combined = nms3(shi_tomasi_score(pyr[0]))
+    for l in range(1, min(levels_used, len(pyr))):
+        s = nms3(shi_tomasi_score(pyr[l]))
+        up = jnp.repeat(jnp.repeat(s, 2 ** l, axis=0), 2 ** l, axis=1)
+        combined = jnp.maximum(combined, up[:H, :W])
+    return combined
+
+
 def detect_grid(img, num_features: int, cell: int = 30, mask=None,
-                min_score: float = 1e-4, border: int = 8):
+                min_score: float = 1e-4, border: int = 8, score=None):
     """Detect up to num_features corners, at most one per cell.
 
+    ``score``: optional precomputed response map (e.g. pyramid_score);
+    defaults to single-scale Shi-Tomasi + NMS of ``img``.
     Returns (pts (N,2) float32 [x,y], score (N,), valid (N,) bool),
     N = num_features, sorted by score descending.
     """
     H, W = img.shape
-    score = nms3(shi_tomasi_score(img))
+    if score is None:
+        score = nms3(shi_tomasi_score(img))
     if mask is not None:
         score = jnp.where(mask, score, 0.0)
     # suppress borders

@@ -35,8 +35,45 @@ def test_descriptors_match_under_shift():
     diag = jnp.diagonal(dist)
     assert float(diag.mean()) < 25, diag
     off = dist + jnp.eye(40, dtype=jnp.int32) * 300
-    assert float(off.min()) > 40, "distinct points too similar"
+    # steering normalizes orientation, which makes rotational variants of
+    # similar texture closer — 30 still leaves a wide margin over diag
+    assert float(off.min()) > 30, "distinct points too similar"
 
     idx, good = match(d0, ok0, d1, ok1)
     correct = (np.asarray(idx) == np.arange(40)) & np.asarray(good)
     assert correct.mean() > 0.9, correct.mean()
+
+
+def test_descriptors_match_under_rotation():
+    """Steered BRIEF (intensity-centroid orientation, extractor.cpp:66-93):
+    the same physical points must still match after a 30-degree in-plane
+    rotation — unsteered BRIEF fails this."""
+    from lvio_fusion_tpu.ops.image import bilinear_sample
+
+    H = W = 200
+    img0 = checker_texture(H, W, seed=5)
+    ang = np.radians(30.0)
+    c, s = np.cos(ang), np.sin(ang)
+    cx = cy = 100.0
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    # img1(p) = img0(R^-1 (p - c) + c)
+    xr = c * (xx - cx) + s * (yy - cy) + cx
+    yr = -s * (xx - cx) + c * (yy - cy) + cy
+    img1 = bilinear_sample(img0, jnp.stack([xr, yr], -1)
+                           .astype(jnp.float32))
+
+    gx, gy = np.meshgrid(np.arange(70, 135, 16), np.arange(70, 135, 16))
+    pts0 = np.stack([gx.ravel(), gy.ravel()], 1).astype(np.float32)
+    # forward-rotate the keypoints into img1
+    px = c * (pts0[:, 0] - cx) - s * (pts0[:, 1] - cy) + cx
+    py = s * (pts0[:, 0] - cx) + c * (pts0[:, 1] - cy) + cy
+    pts1 = np.stack([px, py], 1).astype(np.float32)
+    n = len(pts0)
+    v = jnp.ones(n, bool)
+
+    d0, ok0 = brief_descriptors(img0, jnp.asarray(pts0), v)
+    d1, ok1 = brief_descriptors(img1, jnp.asarray(pts1), v)
+    idx, good = match(d0, ok0, d1, ok1, max_dist=60)
+    correct = (np.asarray(idx) == np.arange(n)) & np.asarray(good)
+    print("rotation match rate:", correct.mean())
+    assert correct.mean() > 0.6, correct.mean()

@@ -1,6 +1,8 @@
 """The shipped TD3 policy artifact (misc/td3_policy.pkl — the analogue of
 the reference's misc/td3.pt): it must load and score at least as well as
-the fixed default weights on a held-out drifted environment."""
+the fixed default weights on a held-out drifted LVIO environment (weights
+only matter when several sensors compete, train = use_imu && use_lidar in
+the reference, parameters.cpp:27-49)."""
 
 import os
 
@@ -22,20 +24,37 @@ def test_shipped_policy_loads_and_beats_default_weights():
     from lvio_fusion_tpu.core.estimator import Estimator, EstimatorConfig
     from lvio_fusion_tpu.datasets.synthetic import make_sequence
 
-    seq = make_sequence(num_frames=30, H=240, W=360, num_points=400, seed=5)
+    seq = make_sequence(num_frames=30, H=240, W=360, num_points=400, seed=5,
+                        with_imu=True, with_lidar=True, lidar_rows=16,
+                        lidar_cols=360)
     cfg = EstimatorConfig(
         height=240, width=360, num_features=200, num_features_init=30,
         num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
         window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
-        ba_iters=5, cell=24, occupy_radius=10)
-    est = Estimator(seq.cam_left, seq.cam_right, cfg)
-    for fr in seq.frames:
+        ba_iters=5, cell=24, occupy_radius=10,
+        use_imu=True, use_lidar=True, init_kfs=8,
+        max_keyframe_interval=0.3,
+        num_scans=16, horizon_scan=360, ang_res_y=2.0, ang_bottom=15.0,
+        ground_rows=8, min_range=1.0, max_range=50.0,
+        max_scan_points=8192, max_ground=512, max_surf=512,
+        lidar_map_cap=2048, lidar_up_axis="y")
+    est = Estimator(seq.cam_left, seq.cam_right, cfg,
+                    lidar_extrinsic=seq.lidar_extrinsic)
+    imu_i = 0
+    for i, fr in enumerate(seq.frames):
+        while (imu_i < len(seq.imu_times)
+               and seq.imu_times[imu_i] <= fr.time):
+            est.input_imu(seq.imu_times[imu_i], seq.imu_acc[imu_i],
+                          seq.imu_gyr[imu_i])
+            imu_i += 1
+        est.input_pointcloud(seq.scan_times[i], seq.scans[i])
         est.input_image(fr.time, fr.left, fr.right)
     est.finalize()
 
     # held-out drift realization the policy never trained on
     tables = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
                              est.cam_right, height=240, width=360,
+                             lidar_mapping=est.lidar_mapping,
                              drift=0.05, drift_seed=9)
     env = VectorEnv(tables, est.cam_left, num_envs=8, horizon=8)
     agent = load_policy(TD3(seed=0), ART)
