@@ -36,6 +36,23 @@ class WindowCaps(NamedTuple):
     Q: int = 16      # prior slots
 
 
+class PendingBA(NamedTuple):
+    """An in-flight window solve: the device buffer plus everything needed
+    to write the result back later (the reference backend thread's
+    never-blocking contract, backend.cpp:28-40 — the frontend keeps
+    tracking while Ceres runs; we fetch one batch later)."""
+
+    flat: object           # device array (packed solve result)
+    kf_idx: np.ndarray
+    opt_ids: np.ndarray
+    tf_src: tuple          # (src_kf, src_idx) of the two-frame obs table
+    po_src: tuple
+    n_tf: int
+    n_po: int
+    use_vio: bool
+    old_newest: np.ndarray
+
+
 class Backend:
     def __init__(self, cam_left, cam_right, caps: WindowCaps = WindowCaps(),
                  num_iters: int = 6, use_imu: bool = False,
@@ -67,9 +84,22 @@ class Backend:
 
     def optimize(self, m: HostMap, imu_tables=None,
                  imu_ready: bool = False) -> Optional[np.ndarray]:
-        """Run window BA in place on the host map. Returns the rigid
-        correction SE3 (new * old^-1) of the newest keyframe, or None if the
-        window is degenerate."""
+        """Run window BA in place on the host map (synchronous: dispatch +
+        finish back-to-back). Returns the rigid correction SE3
+        (new * old^-1) of the newest keyframe, or None if the window is
+        degenerate."""
+        p = self.dispatch(m, imu_tables=imu_tables, imu_ready=imu_ready)
+        if p is None:
+            return None
+        return self.finish(m, p)
+
+    def dispatch(self, m: HostMap, imu_tables=None,
+                 imu_ready: bool = False) -> Optional[PendingBA]:
+        """Assemble the window tables and LAUNCH the solve without fetching
+        the result (JAX dispatch is asynchronous). The frontend can keep
+        tracking on the pre-BA state while the device solves — the
+        reference backend thread's never-blocking contract
+        (backend.cpp:28-40). Call :meth:`finish` later to write back."""
         caps = self.caps
         kf_idx = self._select_window(m)
         self.last_window_start = int(kf_idx[0]) if len(kf_idx) else 0
@@ -209,16 +239,31 @@ class Backend:
                                   imu_tables)
         else:
             flat = self.solve_vo(params, vt, pt, kf_valid, kf_fixed)
+        return PendingBA(
+            flat=flat, kf_idx=kf_idx, opt_ids=opt_ids,
+            tf_src=tf_src, po_src=po_src,
+            n_tf=len(tf_lm), n_po=len(po_kf), use_vio=use_vio,
+            old_newest=m.kf_pose[kf_idx[-1]].copy())
+
+    def finish(self, m: HostMap, p: PendingBA) -> np.ndarray:
+        """Fetch an in-flight solve (blocks until the device is done) and
+        write it back into the host map. Safe to call any number of
+        keyframes later as long as the window kfs' poses and the gathered
+        observation slots were not mutated meanwhile (the host map is
+        append-only; the estimator finishes before any global-stage
+        mutation). Returns the rigid correction of the window's newest kf."""
+        caps = self.caps
+        K, L, F, G = caps.K, caps.L, caps.F, caps.G
         from lvio_fusion_tpu.solver.ba import unpack_ba_result
         (new_poses, new_vel, new_bias, new_depths, lm_world_new, obs_err,
-         po_err, cost) = unpack_ba_result(flat, K, L, F, G)
-        new_poses = new_poses[:K_act]
+         po_err, cost) = unpack_ba_result(p.flat, K, L, F, G)
+        kf_idx, opt_ids = p.kf_idx, p.opt_ids
+        new_poses = new_poses[:len(kf_idx)]
 
         # ---- write back ----
-        old_newest = m.kf_pose[kf_idx[-1]].copy()
         for i, g in enumerate(kf_idx):
             m.kf_pose[g] = new_poses[i]
-            if use_vio:
+            if p.use_vio:
                 m.kf_vel[g] = new_vel[i]
                 m.kf_bias[g] = new_bias[i]
         for s, gid in enumerate(opt_ids):
@@ -228,15 +273,15 @@ class Backend:
         # fused outlier rejection: the reprojection errors came back in the
         # same packed fetch as the solution (backend.cpp:229-245 semantics,
         # zero extra dispatches)
-        nf = min(len(tf_lm), F)
-        self._apply_rejection(m, tf_src[0][:nf], tf_src[1][:nf],
+        nf = min(p.n_tf, F)
+        self._apply_rejection(m, p.tf_src[0][:nf], p.tf_src[1][:nf],
                               obs_err[:nf])
-        ng = min(len(po_kf), G)
-        self._apply_rejection(m, po_src[0][:ng], po_src[1][:ng],
+        ng = min(p.n_po, G)
+        self._apply_rejection(m, p.po_src[0][:ng], p.po_src[1][:ng],
                               po_err[:ng])
 
         from lvio_fusion_tpu.utils import np_se3
-        return np_se3.se3_mul(new_poses[-1], np_se3.se3_inv(old_newest))
+        return np_se3.se3_mul(new_poses[-1], np_se3.se3_inv(p.old_newest))
 
     def _apply_rejection(self, m: HostMap, src_kf, src_idx, err):
         """Flip obs_ok for observations whose reprojection error exceeds

@@ -38,6 +38,12 @@ class EstimatorConfig:
     # the tunnel round-trip over several frames; keyframe decisions then lag
     # by up to frame_batch-1 frames — the same tolerance the reference's
     # async backend has, backend.cpp:28-40)
+    async_ba: bool = True  # never block tracking on the window solve: the
+    # BA launched at keyframe N is fetched/written back at keyframe N+1 and
+    # its rigid correction forward-propagated (the reference backend
+    # thread's exact semantics, backend.cpp:28-40 + Frontend::UpdateCache).
+    # Keyframes that run the global stage (navsat/loop mutate poses) stay
+    # synchronous.
     levels: int = 4
     lk_window: int = 21
     cell: int = 30
@@ -126,8 +132,12 @@ class Estimator:
         self.keyframe_step = fns.keyframe_step
         self.frame_step_chained = fns.frame_step_chained
         self.level0 = fns.level0
-        self._batch_step = (fns.make_batch_kf_step(c.frame_batch)
-                            if c.frame_batch > 1 else None)
+        # with IMU enabled, per-frame raw sample windows ride along in the
+        # batched dispatch and seed LK via on-device preintegration
+        self._batch_imu_cap = c.imu_frame_buf if c.use_imu else 0
+        self._batch_step = (fns.make_batch_kf_step(
+            c.frame_batch, imu_cap=self._batch_imu_cap, g_norm=c.g_norm)
+            if c.frame_batch > 1 else None)
         self._fbuf: list = []  # pending (time, left_u8, right_u8) frames
         self.backend = Backend(
             cam_left, cam_right,
@@ -136,6 +146,7 @@ class Estimator:
             num_iters=c.ba_iters, use_imu=c.use_imu,
             window_seconds=c.window_seconds)
         self.map = HostMap()
+        self._pending_ba = None  # in-flight window solve (async backend)
         # host-side copy of the left camera intrinsics/extrinsic for
         # numpy-only projections (covisibility re-association)
         self._cam_np = {
@@ -445,6 +456,11 @@ class Estimator:
                     self._build_frame(t, left_u8, right_u8)
                 else:
                     self._track_single(t, left_u8, right_u8)
+        corr = self._finish_pending_ba()
+        if corr is not None:
+            from lvio_fusion_tpu.utils import np_se3
+            self.last_pose = np_se3.se3_mul(
+                corr, self.last_pose).astype(np.float32)
         if self.cfg.use_lidar:
             for j in range(self._lidar_done, self.map.num_kfs):
                 self.lidar_mapping.refine(self.map, j)
@@ -622,6 +638,9 @@ class Estimator:
             self.status = self.LOST
             pose = (ext_pred if use_ext
                     else np_se3.se3_mul(self.last_pose, self.relative))
+            corr = self._finish_pending_ba()
+            if corr is not None:
+                pose = np_se3.se3_mul(corr, pose).astype(np.float32)
             self.feat_valid[:] = False
             if self._init_map(time, pyr_left, self._to_u8(img_right), pose):
                 self.status = self.TRACKING
@@ -680,31 +699,77 @@ class Estimator:
         times = [t for t, _, _ in buf]
         imgs = np.stack([l for _, l, _ in buf])
 
-        if self.cfg.use_imu:
-            # per-frame IMU prediction is disabled in batched mode (it
-            # would cost one dispatch per frame); samples still accumulate
-            # for the per-keyframe preintegration factors
+        C = self._batch_imu_cap
+        if C:
+            # slice consumed samples into per-frame windows: each frame's
+            # window is anchored on the last sample of the previous one
+            # (dt[0]=0 anchor row, preintegrate() conventions) so the
+            # batched program can chain on-device IMU pose/vel prediction
+            # (frontend.cpp PredictState, zero extra dispatches)
+            imu_acc = np.zeros((B, C, 3), np.float32)
+            imu_gyr = np.zeros((B, C, 3), np.float32)
+            imu_dt = np.zeros((B, C), np.float32)
+            imu_on = np.zeros(B, bool)
+            anchor = ((self._kf_t[-1], self._kf_acc[-1], self._kf_gyr[-1])
+                      if self._kf_t else None)
+            t_prev = self.last_time
+            for b, tb in enumerate(times):
+                ts, accs, gyrs = self._consume_imu(t_prev, tb)
+                self._kf_t += ts
+                self._kf_acc += accs
+                self._kf_gyr += gyrs
+                if self.imu_initialized:
+                    at = ([anchor[0]] + ts) if anchor else list(ts)
+                    aa = ([anchor[1]] + accs) if anchor else list(accs)
+                    ag = ([anchor[2]] + gyrs) if anchor else list(gyrs)
+                    n = min(len(at), C)
+                    if n >= 2:
+                        imu_acc[b, :n] = aa[:n]
+                        imu_gyr[b, :n] = ag[:n]
+                        for i in range(1, n):
+                            imu_dt[b, i] = max(0.0, at[i] - at[i - 1])
+                        imu_on[b] = True
+                if ts:
+                    anchor = (ts[-1], accs[-1], gyrs[-1])
+                t_prev = tb
+        elif self.cfg.use_imu:
             ts, accs, gyrs = self._consume_imu(self.last_time, times[-1])
             self._kf_t += ts
             self._kf_acc += accs
             self._kf_gyr += gyrs
-        ext_preds = np.zeros((B, 7), np.float32)
-        ext_preds[:, 0] = 1.0
-        use_ext = np.zeros(B, bool)
 
         if self._dev is None:
             self._sync_device_state()
         d = self._dev
-        (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed, kf_packed) = \
-            self._batch_step(
-                jnp.asarray(imgs), jnp.asarray(buf[-1][2]), d["pyr"],
-                d["feat_px"], d["feat_valid"], d["lm_world"], d["pose"],
-                d["relative"], jnp.asarray(ext_preds), jnp.asarray(use_ext))
+        common = (jnp.asarray(imgs), jnp.asarray(buf[-1][2]), d["pyr"],
+                  d["feat_px"], d["feat_valid"], d["lm_world"], d["pose"],
+                  d["relative"])
+        if C:
+            (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed, kf_packed,
+             vel_d) = self._batch_step(
+                *common, jnp.asarray(imu_acc), jnp.asarray(imu_gyr),
+                jnp.asarray(imu_dt), jnp.asarray(imu_on),
+                jnp.asarray(self.cur_vel), jnp.asarray(self.cur_bias))
+        else:
+            ext_preds = np.zeros((B, 7), np.float32)
+            ext_preds[:, 0] = 1.0
+            use_ext = np.zeros(B, bool)
+            (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed, kf_packed) = \
+                self._batch_step(*common, jnp.asarray(ext_preds),
+                                 jnp.asarray(use_ext))
         self._dev = dict(pyr=pyr_cur, feat_px=fpx_d, feat_valid=fval_d,
                          lm_world=d["lm_world"], pose=pose_d,
                          relative=rel_d)
         self.last_pyr = pyr_cur  # _sync_device_state re-seeds from this
-        packed_np, kf_np = jax.device_get((packed, kf_packed))
+        if C:
+            packed_np, kf_np, vel_np = jax.device_get(
+                (packed, kf_packed, vel_d))
+            if self.imu_initialized:
+                # IMU-propagated velocity across the batch; a pending BA
+                # correction (finished inside _create_keyframe) rotates it
+                self.cur_vel = np.asarray(vel_np, np.float32)
+        else:
+            packed_np, kf_np = jax.device_get((packed, kf_packed))
         rows = [unpack_track_result(packed_np[b], self.cfg.num_features)
                 for b in range(B)]
         inliers = [r[3] for r in rows]
@@ -724,6 +789,9 @@ class Estimator:
             pose = (rows[lost_at - 1][2] if lost_at > 0 else self.last_pose)
             for _ in range(B - lost_at if lost_at > 0 else B):
                 pose = np_se3.se3_mul(pose, self.relative)
+            corr = self._finish_pending_ba()
+            if corr is not None:
+                pose = np_se3.se3_mul(corr, pose)
             self.feat_valid[:] = False
             valid = kf_np[:, 8] > 0.5
             if valid.sum() >= self.cfg.num_features_init:
@@ -806,12 +874,36 @@ class Estimator:
                                               img_right_u8, pose,
                                               kf_packed)
 
+    def _finish_pending_ba(self):
+        """Write back the BA dispatched at the previous keyframe, if any
+        (the reference backend thread never blocks the frontend,
+        backend.cpp:28-40; its correction lands one keyframe late).
+        Returns the rigid correction to forward-apply to poses computed
+        since the dispatch, or None."""
+        p, self._pending_ba = self._pending_ba, None
+        if p is None:
+            return None
+        from lvio_fusion_tpu.utils.profiling import TIMERS
+        with TIMERS.time("backend.finish"):
+            return self.backend.finish(self.map, p)
+
     def _create_keyframe_impl(self, time, pyr_left, img_right_u8,
                               pose, kf_packed=None):
         """Persist tracked observations, detect new landmarks, run BA.
         ``kf_packed``: speculative detect/triangulate result already
         computed inside the batched frame program (saves the
         keyframe_step dispatch)."""
+        from lvio_fusion_tpu.utils import np_se3
+        corr = self._finish_pending_ba()
+        if corr is not None:
+            # forward-propagate the one-keyframe-late BA correction onto
+            # the tracked pose (PoseGraph::ForwardUpdate semantics); the
+            # relative motion model is invariant under this left-multiply
+            pose = np_se3.se3_mul(corr, np.asarray(pose, np.float32))
+            if self.cfg.use_imu and self.imu_initialized:
+                self.cur_vel = np_se3.quat_rotate(
+                    corr[:4], self.cur_vel).astype(np.float32)
+                self.cur_bias = self.map.kf_bias[self.map.num_kfs - 1].copy()
         kf_idx = self.map.add_keyframe(
             time, pose, vel=self.cur_vel, bias=self.cur_bias,
             weights=np.array(
@@ -823,12 +915,19 @@ class Estimator:
         from lvio_fusion_tpu.core.frontend import (
             unpack_keyframe_desc, unpack_keyframe_result,
         )
+        was_speculative = kf_packed is not None
         if kf_packed is None:
             kf_packed = self.keyframe_step(
                 jnp.asarray(img_right_u8), pyr_left,
                 jnp.asarray(self.feat_px), jnp.asarray(self.feat_valid),
                 jnp.asarray(pose, dtype=jnp.float32))
         kf = unpack_keyframe_result(kf_packed)
+        if corr is not None and was_speculative:
+            # the batch program triangulated under the pre-correction pose;
+            # re-world from the pose-independent robot-frame points
+            from lvio_fusion_tpu.core.frontend import unpack_keyframe_robot
+            kf = kf._replace(world=np_se3.se3_apply_batch(
+                pose, unpack_keyframe_robot(kf_packed)).astype(np.float32))
         desc, desc_ok = unpack_keyframe_desc(kf_packed)
         matched = self._covisibility_reassociate(
             kf_idx, kf.new_px_left, kf.valid, desc, desc_ok, pose)
@@ -857,19 +956,34 @@ class Estimator:
         if self.cfg.use_lidar:
             self._attach_kf_lidar(kf_idx, time)
 
-        correction = self.backend.optimize(self.map,
-                                           imu_ready=self.imu_initialized)
+        run_global = ((self.cfg.use_navsat or self.cfg.use_loop)
+                      and kf_idx % self.cfg.global_every_kfs == 0)
+        if self.cfg.async_ba and not run_global:
+            # launch the window solve and keep tracking on the pre-BA
+            # state; the result is fetched at the NEXT keyframe
+            # (backend.cpp:28-40 — the backend thread never blocks the
+            # frontend)
+            self._pending_ba = self.backend.dispatch(
+                self.map, imu_ready=self.imu_initialized)
+            correction = None
+        else:
+            # global-stage keyframes mutate window poses (navsat QuickFix,
+            # loop correction) — a late writeback would clobber them, so
+            # solve synchronously here
+            correction = self.backend.optimize(
+                self.map, imu_ready=self.imu_initialized)
         if self.cfg.use_lidar:
             self._run_lidar_mapping()
-        if ((self.cfg.use_navsat or self.cfg.use_loop)
-                and kf_idx % self.cfg.global_every_kfs == 0):
+        if run_global:
             self._run_global_stage()
-        if correction is not None:
-            if self.cfg.use_imu and self.imu_initialized:
-                self.cur_vel = self.map.kf_vel[kf_idx].copy()
-                self.cur_bias = self.map.kf_bias[kf_idx].copy()
-            return np.asarray(self.map.kf_pose[kf_idx])
-        return pose
+        if correction is not None and self.cfg.use_imu and self.imu_initialized:
+            self.cur_vel = self.map.kf_vel[kf_idx].copy()
+            self.cur_bias = self.map.kf_bias[kf_idx].copy()
+        # always return the MAP's pose of the new kf: VI initialization /
+        # navsat / loop stages may have rigidly moved the whole map (incl.
+        # this kf) after `pose` was captured — returning the stale local
+        # would desynchronize the tracking frame from the map frame
+        return np.asarray(self.map.kf_pose[kf_idx])
 
     def _attach_kf_preintegration(self, kf_idx):
         """Integrate the since-last-kf sample buffer and store it on the new
@@ -996,8 +1110,11 @@ class Estimator:
         q = np.asarray(quat_mul(align, jnp.asarray(self.last_pose[:4])))
         t = np.asarray(quat_rotate(align, jnp.asarray(self.last_pose[4:])))
         self.last_pose = np.concatenate([q, t]).astype(np.float32)
-        self.cur_vel = np.asarray(
-            quat_rotate(align, jnp.asarray(self.cur_vel))).astype(np.float32)
+        # adopt the newest kf's SOLVED velocity (already gravity-aligned),
+        # not a rotation of the stale pre-init value: the next frames'
+        # IMU prediction integrates from cur_vel, and with the async
+        # backend no window solve refreshes it before they run
+        self.cur_vel = vels[-1].astype(np.float32)
         self.cur_bias = bias.astype(np.float32)
 
         # keep the other subsystems consistent with the rotated map:

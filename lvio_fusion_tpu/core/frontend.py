@@ -314,7 +314,8 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
 
     _batch_steps = {}
 
-    def make_batch_kf_step(B: int):
+    def make_batch_kf_step(B: int, imu_cap: int = 0,
+                           g_norm: float = 9.81007):
         """Jitted B-frame tracking step with a SPECULATIVE keyframe stage:
         ONE stacked image upload, ONE dispatch, ONE packed fetch for B
         consecutive frames. Host-side transfers through the TPU tunnel
@@ -335,18 +336,22 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         Returns (pyr_last, feat_px', feat_valid', pose', relative',
         packed (B, N*3+8), kf_packed (M, 29)).
         """
-        if B in _batch_steps:
-            return _batch_steps[B]
+        key = (B, imu_cap)
+        if key in _batch_steps:
+            return _batch_steps[key]
 
-        @jax.jit
-        def batch_kf_step(imgs_u8, img_right_u8, pyr_last, feat_px,
-                          feat_valid, lm_world, pose, relative, ext_preds,
-                          use_ext):
+        from lvio_fusion_tpu.ops.imu_preint import (
+            predict_from_delta, preintegrate_light,
+        )
+
+        def _body(imgs_u8, img_right_u8, pyr_last, feat_px, feat_valid,
+                  lm_world, pose, relative, pred_fn):
+            """Shared B-frame loop; ``pred_fn(b, pose, relative) ->
+            (pose_pred, vel')`` supplies the per-frame warp seed."""
             packed_rows = []
             for b in range(B):
                 pyr_cur = _pyramid(imgs_u8[b])
-                pose_pred = jnp.where(use_ext[b], ext_preds[b],
-                                      se3_mul(pose, relative))
+                pose_pred = pred_fn(b, pose, relative)
                 r = _track(pyr_last, pyr_cur, feat_px, feat_valid,
                            lm_world, pose_pred)
                 relative = se3_mul(se3_inv(pose), r.pose)
@@ -363,7 +368,43 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             return (pyr_last, feat_px, feat_valid, pose, relative,
                     jnp.stack(packed_rows), kf_packed)
 
-        _batch_steps[B] = batch_kf_step
+        if imu_cap == 0:
+            @jax.jit
+            def batch_kf_step(imgs_u8, img_right_u8, pyr_last, feat_px,
+                              feat_valid, lm_world, pose, relative,
+                              ext_preds, use_ext):
+                def pred(b, pose, relative):
+                    return jnp.where(use_ext[b], ext_preds[b],
+                                     se3_mul(pose, relative))
+                return _body(imgs_u8, img_right_u8, pyr_last, feat_px,
+                             feat_valid, lm_world, pose, relative, pred)
+        else:
+            # IMU-seeded variant: per-frame raw sample windows ride along
+            # in the SAME dispatch; a light (no-covariance) preintegration
+            # scan per frame chains pose/velocity prediction on-device
+            # (frontend.cpp PredictState per frame, with zero extra RTTs)
+            @jax.jit
+            def batch_kf_step(imgs_u8, img_right_u8, pyr_last, feat_px,
+                              feat_valid, lm_world, pose, relative,
+                              imu_acc, imu_gyr, imu_dt, imu_on, vel0,
+                              bias):
+                vel_box = [vel0]
+
+                def pred(b, pose, relative):
+                    dp, dq, dv, sdt = preintegrate_light(
+                        imu_acc[b], imu_gyr[b], imu_dt[b],
+                        bias[:3], bias[3:])
+                    pp, pv = predict_from_delta(pose, vel_box[0], dp, dq,
+                                                dv, sdt, g_norm)
+                    vel_box[0] = jnp.where(imu_on[b], pv, vel_box[0])
+                    return jnp.where(imu_on[b], pp,
+                                     se3_mul(pose, relative))
+
+                out = _body(imgs_u8, img_right_u8, pyr_last, feat_px,
+                            feat_valid, lm_world, pose, relative, pred)
+                return out + (vel_box[0],)
+
+        _batch_steps[key] = batch_kf_step
         return batch_kf_step
 
     @jax.jit

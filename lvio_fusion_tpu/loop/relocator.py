@@ -49,6 +49,10 @@ class Relocator:
                                             up_axis=up_axis)
         # pending loop state (DetectorLoop statics)
         self._pending: Dict[int, int] = {}  # new kf -> old kf
+        # jitted visual PnP: without this, pose_only_refine would re-trace
+        # an 8-iteration GN for EVERY loop candidate (shapes are fixed:
+        # the estimator's feature capacity)
+        self._pnp = None
 
     # ---------------- detection ----------------
 
@@ -113,10 +117,13 @@ class Relocator:
                 pw[i] = m.lm_world[li]
         if good_np.sum() < 10:
             return None
-        pose, inliers = pose_only_refine(
+        if self._pnp is None:
+            cam = self._cam
+            self._pnp = jax.jit(lambda p0, w, px, ok: pose_only_refine(
+                p0, w, px, ok, cam, iters=8))
+        pose, inliers = self._pnp(
             jnp.asarray(m.kf_pose[old_idx]), jnp.asarray(pw),
-            jnp.asarray(dc["px"]), jnp.asarray(good_np),
-            self._cam, iters=8)
+            jnp.asarray(dc["px"]), jnp.asarray(good_np))
         score = float(np.asarray(inliers).sum()) / max(int(good_np.sum()), 1)
         return np.asarray(pose), score
 

@@ -156,6 +156,49 @@ def preintegrate(acc, gyr, dt, ba, bg, acc_n, gyr_n, acc_w, gyr_w):
                           lin_ba=ba, lin_bg=bg)
 
 
+def preintegrate_light(acc, gyr, dt, ba, bg):
+    """Midpoint preintegration WITHOUT Jacobian/covariance propagation —
+    the cheap form used only as a warp-seed predictor inside the batched
+    frontend program (one (dp, dq, dv, sum_dt) per frame interval; the
+    full 15x15 propagation still runs per keyframe for the BA factors).
+    Same conventions as :func:`preintegrate`: dt[0] is ignored (anchor
+    row), padded rows use dt=0 (exact no-op)."""
+    dtype = acc.dtype
+
+    def step(carry, inp):
+        dp, dq, dv, a0, g0, sdt = carry
+        a1, g1, h = inp
+        un_gyr = 0.5 * (g0 + g1) - bg
+        dq_new = quat_normalize(quat_mul(
+            dq, jnp.concatenate([jnp.ones(1, dtype), un_gyr * h / 2])))
+        un_acc = 0.5 * (quat_rotate(dq, a0 - ba)
+                        + quat_rotate(dq_new, a1 - ba))
+        dp_new = dp + dv * h + 0.5 * un_acc * h * h
+        dv_new = dv + un_acc * h
+        is_pad = h <= 0.0
+        keep = lambda new, old: jnp.where(is_pad, old, new)
+        return (keep(dp_new, dp), keep(dq_new, dq), keep(dv_new, dv),
+                a1, g1, sdt + jnp.maximum(h, 0.0)), None
+
+    init = (jnp.zeros(3, dtype), jnp.array([1.0, 0, 0, 0], dtype),
+            jnp.zeros(3, dtype), acc[0], gyr[0], jnp.zeros((), dtype))
+    (dp, dq, dv, _, _, sum_dt), _ = jax.lax.scan(step, init, (acc, gyr, dt))
+    return dp, dq, dv, sum_dt
+
+
+def predict_from_delta(pose_i, vel_i, dp, dq, dv, sum_dt, g_norm):
+    """Forward state prediction from a raw preintegration delta
+    (PredictState, frontend.cpp:437-451; world gravity along -z, i.e.
+    valid only once the map is gravity-aligned)."""
+    g = jnp.array([0.0, 0.0, -g_norm], dtype=pose_i.dtype)
+    qi, pi = pose_i[:4], pose_i[4:]
+    p_j = pi + vel_i * sum_dt + 0.5 * g * sum_dt * sum_dt \
+        + quat_rotate(qi, dp)
+    q_j = quat_normalize(quat_mul(qi, dq))
+    v_j = vel_i + g * sum_dt + quat_rotate(qi, dv)
+    return jnp.concatenate([q_j, p_j]), v_j
+
+
 def predict_state(preint: Preintegration, pose_i, vel_i, ba, bg, g_norm):
     """Forward state prediction from a preintegration (PredictState,
     frontend.cpp:437-451)."""
