@@ -131,6 +131,11 @@ def cmd_run(args):
     else:
         est, stream, _ = _build_kitti(args)
 
+    if getattr(args, "load_state", ""):
+        est.load_state(args.load_state)
+        print(f"resumed from {args.load_state}: {est.map.num_kfs} kfs",
+              file=sys.stderr)
+
     n = 0
     t0 = _time.perf_counter()
     for t, left, right in stream:
@@ -147,6 +152,9 @@ def cmd_run(args):
                   file=sys.stderr)
     est.finalize()
     dt = _time.perf_counter() - t0
+    if getattr(args, "save_state", ""):
+        est.save_state(args.save_state)
+        print(f"checkpointed -> {args.save_state}", file=sys.stderr)
 
     times, poses = est.trajectory()
     write_tum_csv(args.out, times, poses)
@@ -261,6 +269,10 @@ def main(argv=None):
                         "keyframe decisions lag by batch-1 frames)")
     r.add_argument("--stats", action="store_true",
                    help="print per-stage timing (glog-style observability)")
+    r.add_argument("--save-state", default="",
+                   help="checkpoint the full SLAM state after the run")
+    r.add_argument("--load-state", default="",
+                   help="resume from a checkpoint before streaming frames")
     r.add_argument("--overlay-dir", default="",
                    help="dump tracking-feature overlay PNGs here (the "
                         "reference's live imshow view, offline)")

@@ -1265,3 +1265,20 @@ class Estimator:
 
     def trajectory(self):
         return self.map.trajectory()
+
+    # ------------------------------------------------------------------
+    # checkpoint/resume (additive over the reference, which persists
+    # nothing): full host-side state round-trips through one file
+
+    def save_state(self, path: str):
+        """Checkpoint the complete host-side SLAM state (map, tracker,
+        IMU chain, lidar clouds, navsat alignment, pose-graph sections).
+        Finishes any in-flight async BA first."""
+        from lvio_fusion_tpu.utils.checkpoint import save_estimator
+        save_estimator(self, path)
+
+    def load_state(self, path: str):
+        """Resume from a checkpoint written by :meth:`save_state`; the
+        estimator must be built with a compatible (same-shape) config."""
+        from lvio_fusion_tpu.utils.checkpoint import load_estimator
+        load_estimator(self, path)

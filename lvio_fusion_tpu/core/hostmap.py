@@ -127,3 +127,22 @@ class HostMap:
         """(times, poses) for all keyframes."""
         return (np.asarray(self.kf_time),
                 self.poses_array())
+
+    # ---- persistence (additive; the reference Map has no save/load) ----
+
+    def save(self, path: str):
+        """Write the whole map store to one pickle file (all leaves are
+        numpy arrays / plain containers)."""
+        import pickle
+        with open(path, "wb") as f:
+            pickle.dump(dict(self.__dict__), f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def load(cls, path: str) -> "HostMap":
+        import pickle
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        m = cls()
+        m.__dict__.update(d)
+        return m
