@@ -1129,10 +1129,10 @@ class Estimator:
             # the world is gravity-aligned (z up) from here on: switch the
             # DoF split and re-render stale world clouds
             self.lidar_mapping.set_up_axis("z")
-            if self.relocator is not None and self.relocator.mapping is not None:
-                from lvio_fusion_tpu.lidar.mapping import make_scan_to_map
-                self.relocator._refine = make_scan_to_map(
-                    iters=4, resolution=self.cfg.resolution, up_axis="z")
+        if self.relocator is not None:
+            # loop detection's horizontal plane + the lidar DoF split both
+            # follow the gravity alignment
+            self.relocator.set_up_axis("z")
             for i in list(self.lidar_mapping.world_ground):
                 self.lidar_mapping.to_world(m, i)
         return 1

@@ -44,6 +44,7 @@ class Relocator:
         self.score_thresh = score_thresh
         self.resolution = resolution
         self.mode = mode
+        self.up_axis = up_axis
         if lidar_mapping is not None:
             self._refine = make_scan_to_map(iters=4, resolution=resolution,
                                             up_axis=up_axis)
@@ -54,17 +55,32 @@ class Relocator:
         # the estimator's feature capacity)
         self._pnp = None
 
+    def set_up_axis(self, up_axis: str):
+        """Switch the world vertical axis (the VI initializer calls this
+        when it gravity-aligns the map mid-run): both the scan-to-map
+        DoF split and the horizontal-proximity loop detection follow."""
+        if up_axis != self.up_axis:
+            self.up_axis = up_axis
+            if self.mapping is not None:
+                self._refine = make_scan_to_map(
+                    iters=4, resolution=self.resolution, up_axis=up_axis)
+
     # ---------------- detection ----------------
 
     def detect(self, m, kf_idx: int) -> Optional[int]:
-        """Return the closest old keyframe index if this kf closes a loop."""
+        """Return the closest old keyframe index if this kf closes a loop.
+        Proximity is measured in the HORIZONTAL plane — the two position
+        axes perpendicular to the current up axis (on a raw camera-world
+        map 'y' is up, so the plane is x-z; relocator.cpp:87-133 assumes
+        z-up because the reference always runs gravity-aligned)."""
         t = m.kf_time[kf_idx]
         old_n = np.searchsorted(np.asarray(m.kf_time),
                                 t - self.min_elapsed)
         if old_n < 3:
             return None
-        old_xy = np.stack(m.kf_pose[:old_n])[:, 4:6]
-        d = np.linalg.norm(old_xy - m.kf_pose[kf_idx][4:6], axis=-1)
+        cols = [4, 5] if self.up_axis == "z" else [4, 6]
+        old_xy = np.stack(m.kf_pose[:old_n])[:, cols]
+        d = np.linalg.norm(old_xy - m.kf_pose[kf_idx][cols], axis=-1)
         idx = np.argsort(d)[:3]
         if np.all(d[idx] < self.threshold):
             return int(idx[0])

@@ -225,11 +225,16 @@ class Navsat:
         valid = np.zeros(AB_CAP, bool)
         zA = m.kf_pose[section.A][6]
         zB = m.kf_pose[section.B][6]
+        tA = m.kf_time[section.A]
+        tB = m.kf_time[ids[-1]]
         for s, i in enumerate(ids):
             poses[s] = m.kf_pose[i]
             p = self.get_point(i, m)
             if p is not None:
-                a = s / max(n - 1, 1)
+                # z interpolated by TIME between the endpoint heights
+                # (navsat.cpp:289-291: a=(t-A.time)/(B.time-A.time); GNSS
+                # altitude is not trusted inside a turn section)
+                a = (m.kf_time[i] - tA) / max(tB - tA, 1e-9)
                 fixp[s] = [p[0], p[1], (1 - a) * zA + a * zB]
                 valid[s] = True
         new_poses = np.asarray(_ab_solve(
@@ -330,17 +335,24 @@ def _ab_solve(poses0, fixp, fix_valid, n_act):
         se3_inv(poses0[i]), poses0[jnp.minimum(i + 1, C - 1)]))(idx)
     edge_valid = valid & (idx < n_act - 1)
     # rotation stiff, translation soft: the chain keeps local smoothness
-    # while GPS anchors pull the positions (PoseGraphError(1, 20) weights)
-    axis_w = jnp.array([20.0, 20.0, 20.0, 1.0, 1.0, 1.0])
+    # while GPS anchors pull the positions (PoseGraphError(1, 20) weights);
+    # the final edge into the fixed endpoint B gets the reference's
+    # stronger translation weight (PoseGraphError(relative_B, 10, 20),
+    # navsat.cpp:302-303)
+    is_last_edge = idx == (n_act - 2)
+    trans_w = jnp.where(is_last_edge, 10.0, 1.0)
+    axis_w = (jnp.array([20.0, 20.0, 20.0, 0.0, 0.0, 0.0])[None, :]
+              + jnp.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])[None, :]
+              * trans_w[:, None])
 
     def build(poses):
         z = jnp.zeros((C, 6), poses.dtype)
 
-        def f_rel(xi_i, xi_j, p_i, p_j, meas):
+        def f_rel(xi_i, xi_j, p_i, p_j, meas, aw):
             return factors.relative_pose(xi_i, xi_j, p_i, p_j, meas, 1.0,
-                                         axis_w)
+                                         aw)
 
-        args = (poses, poses[idx_j], meas_rel)
+        args = (poses, poses[idx_j], meas_rel, axis_w)
         r = jax.vmap(f_rel)(z, z, *args)
         Ji, Jj = jax.vmap(jax.jacfwd(f_rel, argnums=(0, 1)))(z, z, *args)
         pad = jnp.zeros(Ji.shape[:2] + (9,), poses.dtype)

@@ -72,3 +72,32 @@ def test_loop_correction():
     err_after = np.linalg.norm(m.kf_pose[n - 1][4:] - gt[n - 1][4:])
     print(f"revisit error {err_before:.3f} -> {err_after:.3f}")
     assert err_after < 0.3 * err_before
+
+
+def test_detect_y_up_plane():
+    """On a raw camera-world map (y up, pre-gravity-alignment) loop
+    proximity must be measured in the x-z plane: two keyframes at the same
+    x-z but different HEIGHT (y) are a revisit; the same map read with the
+    z-up convention would wrongly see the height gap as planar distance."""
+    m = HostMap()
+    n_old = 5
+    for i in range(n_old):
+        p = np.array([1, 0, 0, 0, float(i), 2.0, 0.0], np.float32)
+        m.add_keyframe(i * 2.0, p)
+    # revisit kf near old kf 1 in x-z, but y differs by 1.5 (height drift)
+    p = np.array([1, 0, 0, 0, 1.2, 0.5, 0.3], np.float32)
+    m.add_keyframe(40.0, p)
+
+    rel_y = Relocator(None, threshold=3.0, min_elapsed=30.0, up_axis="y")
+    old = rel_y.detect(m, m.num_kfs - 1)
+    assert old is not None and old <= 2, old
+
+    # with z-up the 'plane' includes the 1.5 m y gap but all old kfs are
+    # still within 3 m -> detection is noisier but shouldn't crash
+    rel_z = Relocator(None, threshold=0.8, min_elapsed=30.0, up_axis="z")
+    assert rel_z.detect(m, m.num_kfs - 1) is None  # y gap breaks proximity
+
+    # switching axis mid-run re-selects the plane
+    rel_z.set_up_axis("y")
+    rel_z.threshold = 3.0
+    assert rel_z.detect(m, m.num_kfs - 1) is not None
