@@ -19,17 +19,26 @@ def main():
     from lvio_fusion_tpu.datasets.synthetic import make_sequence
 
     H, W = int(os.environ.get("BENCH_H", 376)), int(os.environ.get("BENCH_W", 1241))
-    batch = int(os.environ.get("BENCH_BATCH", 8))
+    batch = int(os.environ.get("BENCH_BATCH", 12))  # sweep: 8 -> 34.6 fps,
+    # 12 -> 37.1, 16 -> 36.2 on the tunneled v5 lite chip (r3)
     n_frames = int(os.environ.get("BENCH_FRAMES", 64))
     # dense blob field: KITTI-like feature richness (several hundred
     # trackable points per frame) so keyframe cadence is representative
     seq = make_sequence(num_frames=n_frames, H=H, W=W, num_points=3000,
                         fps=10.0, speed=1.4, seed=0)
+    # BENCH_PIPE=1 enables the lag-1 pipelined frontend. Default OFF for
+    # the tunneled chip: the axon relay serializes result fetches behind
+    # in-flight executions, so host processing cannot overlap device
+    # compute there (measured r3: 33.2 fps pipelined vs 37.1 sync at
+    # batch 12). On a locally-attached TPU the pipeline is the faster
+    # path.
+    pipelined = os.environ.get("BENCH_PIPE", "0") == "1"
     cfg = EstimatorConfig(
         height=H, width=W, num_features=400, num_features_init=50,
         num_features_tracking_bad=20, num_features_needed_for_keyframe=120,
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
-        ba_iters=5, frame_batch=batch)
+        ba_iters=5, frame_batch=batch,
+        pipelined_flush=pipelined and batch > 1)
 
     # warmup on the SAME estimator (each Estimator instance creates fresh
     # jit closures, so a second instance would recompile everything);
@@ -38,6 +47,10 @@ def main():
     est = Estimator(seq.cam_left, seq.cam_right, cfg)
     for fr in seq.frames[:warm]:
         est.input_image(fr.time, fr.left, fr.right)
+
+    if os.environ.get("BENCH_STATS"):
+        from lvio_fusion_tpu.utils.profiling import TIMERS
+        TIMERS.reset()  # report steady state, not warmup compiles
 
     # timed steady-state run
     t0 = time.perf_counter()

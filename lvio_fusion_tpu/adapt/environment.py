@@ -165,11 +165,19 @@ class VectorEnv:
 
     def __init__(self, tables: EnvTables, cam, num_envs: int,
                  horizon: int = 10, up_axis: str = "z",
-                 resolution: float = 0.2):
+                 resolution: float = 0.2, weight_reg: float = 0.0):
+        """``weight_reg``: reward-shaping coefficient penalizing the
+        squared log10-distance of the chosen weights from the per-frame
+        defaults. The raw ratio reward is a pose-only PROXY for the real
+        pipeline — unshaped, it tolerates extreme lidar weights that
+        measurably hurt end-to-end ATE when the policy drives the full
+        window BA + scan-to-map stages."""
         self.tables = tables
         self.B = num_envs
         self.horizon = horizon
         K = int(tables.poses_gt.shape[0])
+        from lvio_fusion_tpu.adapt.observation import default_weights
+        log_def = jnp.log10(default_weights(float(cam.fx)))
 
         @jax.jit
         def reset(key):
@@ -187,8 +195,11 @@ class VectorEnv:
 
             def one(kf, w):
                 result = _solve_one(tables, kf, w, cam, up_axis, resolution)
-                return _reward(result, tables.poses_gt[kf],
-                               tables.poses_prev[kf])
+                r = _reward(result, tables.poses_gt[kf],
+                            tables.poses_prev[kf])
+                reg = jnp.sum((jnp.log10(jnp.maximum(w, 1e-6))
+                               - log_def) ** 2)
+                return r - weight_reg * reg
 
             reward = jax.vmap(one)(state.kf, weights)
             kf = jnp.minimum(state.kf + 1, K - 1)
@@ -230,6 +241,31 @@ def tables_from_map(m, gt_times, gt_poses, cam_right, caps=None,
                                     float(np.clip(a, 0, 1))))
 
     poses_gt = np.stack([gt_at(t) for t in m.kf_time]).astype(np.float32)
+    # Align ground truth into the MAP frame: the estimator's world may be
+    # gravity-rotated (VI init) or otherwise rigidly offset from the GT
+    # frame, while obs_world / lidar tables live in the map frame. Without
+    # this, no solve can approach "gt" and the ratio reward is ~0 for
+    # every action (no learning signal). Rigid Umeyama (no scale) over
+    # keyframe positions.
+    if K >= 3:
+        from lvio_fusion_tpu.utils import np_se3
+        P = poses_gt[:, 4:]
+        Q = np.stack(m.kf_pose)[:, 4:].astype(np.float32)
+        mu_p, mu_q = P.mean(0), Q.mean(0)
+        U, _, Vt = np.linalg.svd((Q - mu_q).T @ (P - mu_p))
+        refl = np.eye(3)
+        refl[2, 2] = np.sign(np.linalg.det(U @ Vt))
+        R = (U @ refl @ Vt).astype(np.float32)
+        # R,t as an SE3 (quaternion wxyz) applied LEFT to every gt pose
+        w = np.sqrt(max(1.0 + np.trace(R), 1e-12)) / 2.0
+        q = np.array([w, (R[2, 1] - R[1, 2]) / (4 * w),
+                      (R[0, 2] - R[2, 0]) / (4 * w),
+                      (R[1, 0] - R[0, 1]) / (4 * w)], np.float32)
+        q /= np.linalg.norm(q)
+        t_align = (mu_q - R @ mu_p).astype(np.float32)
+        T_align = np.concatenate([q, t_align])
+        poses_gt = np.stack([np_se3.se3_mul(T_align, p)
+                             for p in poses_gt]).astype(np.float32)
     poses_prev = np.concatenate([poses_gt[:1], poses_gt[:-1]])
     poses_init = poses_gt.copy()
     if drift > 0:

@@ -45,7 +45,22 @@ def observation_grid(px, prev_px, valid, height: int, width: int):
     return obs.reshape(OBS_ROWS, OBS_COLS, OBS_CH)
 
 
+_LOG_LOW, _LOG_HIGH = -4.0, 2.0  # log10 of the weight bounds
+
+
 def action_to_weights(a):
-    """Map a tanh action in [-1, 1]^3 to weights in [1e-4, 100]."""
-    return WEIGHT_LOW + (jnp.clip(a, -1.0, 1.0) + 1.0) * 0.5 \
-        * (WEIGHT_HIGH - WEIGHT_LOW)
+    """Map a tanh action in [-1, 1]^3 to weights in [1e-4, 100],
+    LOG-uniformly: every decade of the bounded range is equally
+    reachable. (The reference's linear Box mapping, env.py:16-17, makes
+    weights < 1 occupy ~1e-6 of the action space — its policy can never
+    express the default surf weight 0.01, which measurably degrades
+    end-to-end ATE when the trained policy drives the real pipeline.)"""
+    t = (jnp.clip(a, -1.0, 1.0) + 1.0) * 0.5
+    return 10.0 ** (_LOG_LOW + t * (_LOG_HIGH - _LOG_LOW))
+
+
+def weights_to_action(w):
+    """Inverse of :func:`action_to_weights` (exact on [1e-4, 100])."""
+    t = (jnp.log10(jnp.clip(w, WEIGHT_LOW, WEIGHT_HIGH)) - _LOG_LOW) \
+        / (_LOG_HIGH - _LOG_LOW)
+    return 2.0 * t - 1.0

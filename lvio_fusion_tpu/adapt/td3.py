@@ -27,13 +27,33 @@ ACT_DIM = 3  # visual, lidar_ground, lidar_surf (adapt/weights.h)
 
 
 class Actor(nn.Module):
+    """``init_action``: the tanh output the freshly-initialized actor
+    produces for ANY observation (small final kernel + atanh bias). Set
+    to the action encoding the per-frame DEFAULT weights so the policy
+    starts at the reference's hand-tuned operating point and learns
+    deviations — a randomly-initialized actor starts ~9 exploration-noise
+    sigmas from the defaults and TD3 never finds its way there."""
+
     hidden: int = 128
+    init_action: tuple = (0.0, 0.0, 0.0)
 
     @nn.compact
     def __call__(self, obs):
-        x = nn.relu(nn.Dense(self.hidden)(obs))
+        # the observation grid is unnormalized (per-cell feature counts
+        # up to ~50, pixel-delta means up to ~±30 px): scale it so the
+        # default-initialized actor's output actually sits AT
+        # init_action instead of drifting with the input magnitude
+        x = nn.relu(nn.Dense(self.hidden)(obs * 0.1))
         x = nn.relu(nn.Dense(self.hidden)(x))
-        return nn.tanh(nn.Dense(ACT_DIM)(x))
+        a0 = np.arctanh(np.clip(np.asarray(self.init_action, np.float32),
+                                -0.999, 0.999))
+        out = nn.Dense(
+            ACT_DIM,
+            kernel_init=nn.initializers.variance_scaling(
+                0.01, "fan_in", "truncated_normal"),
+            bias_init=lambda key, shape, dtype=jnp.float32:
+                jnp.asarray(a0, dtype))(x)
+        return nn.tanh(out)
 
 
 class Critic(nn.Module):
@@ -41,7 +61,7 @@ class Critic(nn.Module):
 
     @nn.compact
     def __call__(self, obs, act):
-        x = jnp.concatenate([obs, act], axis=-1)
+        x = jnp.concatenate([obs * 0.1, act], axis=-1)
         x = nn.relu(nn.Dense(self.hidden)(x))
         x = nn.relu(nn.Dense(self.hidden)(x))
         return nn.Dense(1)(x)[..., 0]
@@ -98,12 +118,29 @@ def replay_add(r: Replay, obs, act, rew, nobs, done):
 class TD3:
     def __init__(self, seed=0, actor_lr=3e-4, critic_lr=1e-3, gamma=0.99,
                  tau=0.005, policy_noise=0.2, noise_clip=0.5,
-                 explore_noise=0.1, policy_delay=2):
+                 explore_noise=0.1, policy_delay=2, init_action=None,
+                 actor_delay=0, anchor_weight=0.0):
         self.gamma, self.tau = gamma, tau
         self.policy_noise, self.noise_clip = policy_noise, noise_clip
         self.explore_noise = explore_noise
         self.policy_delay = policy_delay
-        self.actor_def = Actor()
+        # critic-first schedule: freeze the actor for the first
+        # ``actor_delay`` updates. A freshly-initialized critic's gradient
+        # is noise — chasing it destroys a good actor init (we initialize
+        # at the default weights) before the critic has learned anything.
+        self.actor_delay = actor_delay
+        # TD3+BC-style anchor: actor loss gains
+        # anchor_weight * ||a - init_action||^2, so the actor leaves the
+        # (near-optimal) default operating point only where the critic's
+        # predicted gain beats the penalty — guards against Q
+        # extrapolation error in barely-explored action regions
+        self.anchor_weight = anchor_weight
+        self._anchor = jnp.asarray(
+            np.zeros(ACT_DIM, np.float32) if init_action is None
+            else np.asarray(init_action, np.float32))
+        self.actor_def = Actor(
+            init_action=(0.0, 0.0, 0.0) if init_action is None
+            else tuple(float(a) for a in np.asarray(init_action)))
         self.critic_def = Critic()
         self.opt_a = optax.adam(actor_lr)
         self.opt_c = optax.adam(critic_lr)
@@ -162,9 +199,12 @@ class TD3:
         # --- delayed actor update ---
         def actor_loss(pa):
             a = self.actor_def.apply(pa, obs)
-            return -jnp.mean(self.critic_def.apply(critic1, obs, a))
+            q = jnp.mean(self.critic_def.apply(critic1, obs, a))
+            bc = jnp.mean(jnp.sum((a - self._anchor) ** 2, -1))
+            return -q + self.anchor_weight * bc
 
-        do_actor = (state.step % self.policy_delay) == 0
+        do_actor = ((state.step % self.policy_delay) == 0) \
+            & (state.step >= self.actor_delay)
         aloss, agrads = jax.value_and_grad(actor_loss)(state.actor)
         agrads = jax.tree.map(
             lambda g: jnp.where(do_actor, g, jnp.zeros_like(g)), agrads)

@@ -34,6 +34,7 @@ def _build_synthetic(args):
         window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
         ba_iters=5, cell=24, occupy_radius=10,
         frame_batch=getattr(args, "batch", 1),
+        pipelined_flush=getattr(args, "pipelined", False),
         use_imu=args.imu, use_lidar=args.lidar,
         num_scans=16, horizon_scan=360, ang_res_y=2.0, ang_bottom=15.0,
         ground_rows=8, min_range=1.0, max_range=50.0,
@@ -68,6 +69,7 @@ def _build_kitti(args):
         height=H, width=W, num_features=400,
         use_lidar=args.lidar and ds.lidar_extrinsic is not None,
         frame_batch=getattr(args, "batch", 1),
+        pipelined_flush=getattr(args, "pipelined", False),
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024)
     est = Estimator(ds.cam_left, ds.cam_right, cfg,
                     lidar_extrinsic=ds.lidar_extrinsic)
@@ -93,7 +95,8 @@ def _build_kaist(args):
     probe = next(ds.frames(0, 1))
     H, W = probe.left.shape
     est = Estimator.from_config(args.config, H, W,
-                                frame_batch=getattr(args, "batch", 1))
+                                frame_batch=getattr(args, "batch", 1),
+                                pipelined_flush=getattr(args, "pipelined", False))
 
     def stream():
         imu = ds.imu() if est.cfg.use_imu else None
@@ -131,6 +134,14 @@ def cmd_run(args):
     else:
         est, stream, _ = _build_kitti(args)
 
+    if getattr(args, "policy", ""):
+        # self-adaptive factor weights from a trained TD3 actor
+        # (reference agent.cpp SetCore + misc/td3.pt)
+        from lvio_fusion_tpu.adapt.agent import Agent, load_policy
+        from lvio_fusion_tpu.adapt.td3 import TD3
+        est.set_agent(Agent(load_policy(TD3(seed=0), args.policy)))
+        print(f"weight policy loaded from {args.policy}", file=sys.stderr)
+
     if getattr(args, "load_state", ""):
         est.load_state(args.load_state)
         print(f"resumed from {args.load_state}: {est.map.num_kfs} kfs",
@@ -155,6 +166,11 @@ def cmd_run(args):
     if getattr(args, "save_state", ""):
         est.save_state(args.save_state)
         print(f"checkpointed -> {args.save_state}", file=sys.stderr)
+
+    if getattr(args, "map_cloud", "") and est.cfg.use_lidar:
+        n_pts = est.lidar_mapping.save_global_map(args.map_cloud)
+        print(f"global lidar map: {n_pts} pts -> {args.map_cloud}",
+              file=sys.stderr)
 
     times, poses = est.trajectory()
     write_tum_csv(args.out, times, poses)
@@ -185,15 +201,26 @@ def cmd_train_rl(args):
                              lidar_mapping=lm, drift=args.drift,
                              drift_seed=0)
     env = VectorEnv(tables, est.cam_left, num_envs=args.envs,
-                    horizon=10)
+                    horizon=10, weight_reg=args.weight_reg)
     # held-out evaluation instances: a DIFFERENT drift realization
     eval_tables = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
                                   est.cam_right, height=240, width=360,
                                   lidar_mapping=lm, drift=args.drift,
                                   drift_seed=1)
     eval_env = VectorEnv(eval_tables, est.cam_left,
-                         num_envs=max(args.envs, 8), horizon=10)
-    agent = TD3(seed=0)
+                         num_envs=max(args.envs, 8), horizon=10,
+                         weight_reg=args.weight_reg)
+    # start the actor AT the per-frame default weights (frame.cpp:11-16)
+    # and learn deviations — see Actor.init_action
+    from lvio_fusion_tpu.adapt.observation import (
+        default_weights, weights_to_action,
+    )
+    a0 = weights_to_action(default_weights(float(est.cam_left.fx)))
+    # actor frozen for the first third of updates: the critic must first
+    # learn the value surface around the (good) default-weight init
+    agent = TD3(seed=0, init_action=np.asarray(a0),
+                actor_delay=max(100, args.epochs * args.steps // 3),
+                anchor_weight=2.0)
     agent, hist = train_td3(env, agent, epochs=args.epochs,
                             steps_per_epoch=args.steps,
                             eval_env=eval_env,
@@ -267,8 +294,18 @@ def main(argv=None):
     r.add_argument("--batch", type=int, default=1,
                    help="frames per device dispatch (throughput mode; "
                         "keyframe decisions lag by batch-1 frames)")
+    r.add_argument("--pipelined", action="store_true",
+                   help="lag-1 pipelined frontend: host processing "
+                        "overlaps device tracking (throughput mode; "
+                        "map updates lag one extra batch)")
     r.add_argument("--stats", action="store_true",
                    help="print per-stage timing (glog-style observability)")
+    r.add_argument("--policy", default="",
+                   help="TD3 weight-policy pickle (e.g. misc/td3_policy.pkl)"
+                        " enabling self-adaptive factor weights")
+    r.add_argument("--map-cloud", default="",
+                   help="write the merged global lidar map as a PLY "
+                        "point cloud (Mapping::GetGlobalMap)")
     r.add_argument("--save-state", default="",
                    help="checkpoint the full SLAM state after the run")
     r.add_argument("--load-state", default="",
@@ -291,6 +328,11 @@ def main(argv=None):
                    help="random-walk map drift (m per traveled m) the "
                         "policy trains against (0 = gt-reset like the "
                         "reference)")
+    t.add_argument("--weight-reg", type=float, default=0.5,
+                   help="reward penalty on squared log10-distance of the "
+                        "weights from the per-frame defaults (keeps the "
+                        "policy's weights in ranges that help END-TO-END "
+                        "ATE, not just the pose-only env proxy)")
     t.add_argument("--out", default="td3.pkl")
     t.set_defaults(fn=cmd_train_rl)
 

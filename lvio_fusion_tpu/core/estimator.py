@@ -44,6 +44,15 @@ class EstimatorConfig:
     # thread's exact semantics, backend.cpp:28-40 + Frontend::UpdateCache).
     # Keyframes that run the global stage (navsat/loop mutate poses) stay
     # synchronous.
+    pipelined_flush: bool = False  # lag-1 frontend pipeline (frame_batch
+    # > 1 only): the host processes each batch's results while the device
+    # tracks the NEXT batch — the keyframe decision and feature merge run
+    # on-device, and map-side corrections are injected into the chain one
+    # batch late. Wins on locally-attached TPUs where fetches overlap
+    # execution; the tunneled axon relay serializes fetches behind
+    # in-flight programs, so there it is no faster than the synchronous
+    # batched flush. Keyframe bookkeeping (map insertion, BA, global
+    # stages) lags one batch.
     levels: int = 4
     lk_window: int = 21
     cell: int = 30
@@ -137,7 +146,25 @@ class Estimator:
         self._batch_imu_cap = c.imu_frame_buf if c.use_imu else 0
         self._batch_step = (fns.make_batch_kf_step(
             c.frame_batch, imu_cap=self._batch_imu_cap, g_norm=c.g_norm)
-            if c.frame_batch > 1 else None)
+            if c.frame_batch > 1 and not c.pipelined_flush else None)
+        # lag-1 pipelined frontend (device-autonomous keyframe merge)
+        self._pipe_step = (fns.make_pipe_step(
+            c.frame_batch, c.num_features_needed_for_keyframe,
+            c.max_keyframe_interval, imu_cap=self._batch_imu_cap,
+            g_norm=c.g_norm)
+            if c.frame_batch > 1 and c.pipelined_flush else None)
+        self._pipe = None           # device chain state (dict) or None
+        self._pending_flush = None  # in-flight batch handles
+        self._pipe_discard = False  # drop the in-flight batch (post-LOST)
+        self._pipe_gen = 1          # batch generation counter
+        self._slot_gen = np.zeros(c.num_features, np.int32)  # host
+        # mirror of feat_gen (which batch assigned each feature slot)
+        self._corr_total = np.asarray(se3_identity())   # all rigid map
+        # corrections ever applied (BA writeback tails, gravity alignment,
+        # global-stage tails), composed left-to-right
+        self._corr_injected = np.asarray(se3_identity())
+        self._pipe_last_time = None
+        self._pipe_imu_anchor = None
         self._fbuf: list = []  # pending (time, left_u8, right_u8) frames
         self.backend = Backend(
             cam_left, cam_right,
@@ -448,6 +475,8 @@ class Estimator:
     def finalize(self):
         """Flush pending refinements (end of sequence; the reference's
         'e'-key final navsat optimization, lvio_fusion_node.cpp:387-393)."""
+        if self._pipe_step is not None:
+            self._drain_pipe()
         if self._fbuf:
             # drain buffered frames through the per-frame path
             leftover, self._fbuf = self._fbuf, []
@@ -550,7 +579,9 @@ class Estimator:
                 jnp.asarray(self._to_u8(img_right)), jnp.int32(1)))
         img_right_u8 = None  # converted lazily (only needed at keyframes)
 
-        if self.status != self.BUILDING and self._batch_step is not None:
+        if self.status != self.BUILDING and (
+                self._batch_step is not None
+                or self._pipe_step is not None):
             return self._input_image_batched(time, img_left, img_right)
 
         if self.status == self.BUILDING:
@@ -679,10 +710,19 @@ class Estimator:
         constant-velocity extrapolated pose; refined poses land in the
         keyframe map at flush time."""
         from lvio_fusion_tpu.utils import np_se3
-        self._fbuf.append((float(time), img_left_u8,
-                           self._to_u8(img_right)))
-        if len(self._fbuf) >= self.cfg.frame_batch:
-            return self._flush_batch()
+        if self._pipe_step is not None:
+            # pre-stage the upload NOW (async device_put): the transfer
+            # overlaps the in-flight batch's compute instead of blocking
+            # the flush dispatch for ~100 ms of tunnel bandwidth
+            self._fbuf.append((float(time), jax.device_put(img_left_u8),
+                               self._to_u8(img_right)))
+            if len(self._fbuf) >= self.cfg.frame_batch:
+                return self._flush_pipe()
+        else:
+            self._fbuf.append((float(time), img_left_u8,
+                               self._to_u8(img_right)))
+            if len(self._fbuf) >= self.cfg.frame_batch:
+                return self._flush_batch()
         p = self.last_pose
         for _ in range(len(self._fbuf)):
             p = np_se3.se3_mul(p, self.relative)
@@ -738,38 +778,42 @@ class Estimator:
             self._kf_acc += accs
             self._kf_gyr += gyrs
 
+        from lvio_fusion_tpu.utils.profiling import TIMERS
         if self._dev is None:
             self._sync_device_state()
         d = self._dev
-        common = (jnp.asarray(imgs), jnp.asarray(buf[-1][2]), d["pyr"],
-                  d["feat_px"], d["feat_valid"], d["lm_world"], d["pose"],
-                  d["relative"])
-        if C:
-            (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed, kf_packed,
-             vel_d) = self._batch_step(
-                *common, jnp.asarray(imu_acc), jnp.asarray(imu_gyr),
-                jnp.asarray(imu_dt), jnp.asarray(imu_on),
-                jnp.asarray(self.cur_vel), jnp.asarray(self.cur_bias))
-        else:
-            ext_preds = np.zeros((B, 7), np.float32)
-            ext_preds[:, 0] = 1.0
-            use_ext = np.zeros(B, bool)
-            (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed, kf_packed) = \
-                self._batch_step(*common, jnp.asarray(ext_preds),
-                                 jnp.asarray(use_ext))
+        with TIMERS.time("frontend.flush.dispatch"):
+            common = (jnp.asarray(imgs), jnp.asarray(buf[-1][2]), d["pyr"],
+                      d["feat_px"], d["feat_valid"], d["lm_world"],
+                      d["pose"], d["relative"])
+            if C:
+                (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed, kf_packed,
+                 vel_d) = self._batch_step(
+                    *common, jnp.asarray(imu_acc), jnp.asarray(imu_gyr),
+                    jnp.asarray(imu_dt), jnp.asarray(imu_on),
+                    jnp.asarray(self.cur_vel), jnp.asarray(self.cur_bias))
+            else:
+                ext_preds = np.zeros((B, 7), np.float32)
+                ext_preds[:, 0] = 1.0
+                use_ext = np.zeros(B, bool)
+                (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed,
+                 kf_packed) = self._batch_step(
+                    *common, jnp.asarray(ext_preds), jnp.asarray(use_ext))
         self._dev = dict(pyr=pyr_cur, feat_px=fpx_d, feat_valid=fval_d,
                          lm_world=d["lm_world"], pose=pose_d,
                          relative=rel_d)
         self.last_pyr = pyr_cur  # _sync_device_state re-seeds from this
-        if C:
-            packed_np, kf_np, vel_np = jax.device_get(
-                (packed, kf_packed, vel_d))
-            if self.imu_initialized:
-                # IMU-propagated velocity across the batch; a pending BA
-                # correction (finished inside _create_keyframe) rotates it
-                self.cur_vel = np.asarray(vel_np, np.float32)
-        else:
-            packed_np, kf_np = jax.device_get((packed, kf_packed))
+        with TIMERS.time("frontend.flush.fetch"):
+            if C:
+                packed_np, kf_np, vel_np = jax.device_get(
+                    (packed, kf_packed, vel_d))
+                if self.imu_initialized:
+                    # IMU-propagated velocity across the batch; a pending
+                    # BA correction (finished inside _create_keyframe)
+                    # rotates it
+                    self.cur_vel = np.asarray(vel_np, np.float32)
+            else:
+                packed_np, kf_np = jax.device_get((packed, kf_packed))
         rows = [unpack_track_result(packed_np[b], self.cfg.num_features)
                 for b in range(B)]
         inliers = [r[3] for r in rows]
@@ -840,6 +884,364 @@ class Estimator:
         if need_kf:
             self._sync_device_state()
         return self.last_pose
+
+    # ------------------------------------------------------------------
+    # lag-1 pipelined frontend (cfg.pipelined_flush): the device chain
+    # runs a batch AHEAD of the host mirror. Each flush (a) dispatches
+    # the new batch chained on device state, then (b) processes the
+    # PREVIOUS batch's results while the device computes — keyframe
+    # decisions + feature merges already happened ON-DEVICE, the host
+    # just mirrors them into the map one batch late. Rigid map
+    # corrections (BA writeback, gravity alignment, global-stage tails)
+    # accumulate in self._corr_total and are injected into the chain at
+    # the next dispatch; canonical landmark worlds are re-injected with a
+    # per-slot generation guard. Mirrors the reference's never-blocking
+    # frontend/backend split (backend.cpp:28-40) at batch granularity.
+
+    def _flush_pipe(self):
+        from lvio_fusion_tpu.utils import np_se3
+        from lvio_fusion_tpu.utils.profiling import TIMERS
+        buf, self._fbuf = self._fbuf, []
+        prev = self._pending_flush
+        with TIMERS.time("frontend.pipe.dispatch"):
+            self._pending_flush = self._dispatch_pipe(buf)
+        if prev is not None:
+            with TIMERS.time("frontend.pipe.process"):
+                self._process_flush(prev)
+        # best-effort pose for the caller: the processed state
+        # extrapolated over the (still in-flight) batch
+        p = self.last_pose
+        for _ in range(self.cfg.frame_batch):
+            p = np_se3.se3_mul(p, self.relative)
+        return p.astype(np.float32)
+
+    def _dispatch_pipe(self, buf):
+        """Launch the pipe program on the device chain (seeding a fresh
+        chain from the host mirror when none exists); returns the handles
+        needed to mirror the results later."""
+        from lvio_fusion_tpu.utils import np_se3
+        c = self.cfg
+        B = c.frame_batch
+        N = c.num_features
+        m = self.map
+        times = [t for t, _, _ in buf]
+        t_prev0 = (self._pipe_last_time if self._pipe_last_time is not None
+                   else self.last_time)
+
+        # per-frame IMU windows, consumed NOW; the raw slices ride in the
+        # handles and enter the keyframe buffers at PROCESSING time (the
+        # host's _kf buffers must stay in batch order)
+        C = self._batch_imu_cap
+        imu_args = ()
+        imu_samples = []
+        if c.use_imu:
+            imu_acc = np.zeros((B, max(C, 1), 3), np.float32)
+            imu_gyr = np.zeros((B, max(C, 1), 3), np.float32)
+            imu_dt = np.zeros((B, max(C, 1)), np.float32)
+            imu_on = np.zeros(B, bool)
+            anchor = self._pipe_imu_anchor
+            t_prev = t_prev0
+            for b, tb in enumerate(times):
+                ts, accs, gyrs = self._consume_imu(t_prev, tb)
+                imu_samples.append((ts, accs, gyrs))
+                if C and self.imu_initialized:
+                    at = ([anchor[0]] + ts) if anchor else list(ts)
+                    aa = ([anchor[1]] + accs) if anchor else list(accs)
+                    ag = ([anchor[2]] + gyrs) if anchor else list(gyrs)
+                    n = min(len(at), C)
+                    if n >= 2:
+                        imu_acc[b, :n] = aa[:n]
+                        imu_gyr[b, :n] = ag[:n]
+                        for i in range(1, n):
+                            imu_dt[b, i] = max(0.0, at[i] - at[i - 1])
+                        imu_on[b] = True
+                if ts:
+                    anchor = (ts[-1], accs[-1], gyrs[-1])
+                t_prev = tb
+            self._pipe_imu_anchor = anchor
+            if C:
+                imu_args = (jnp.asarray(imu_acc), jnp.asarray(imu_gyr),
+                            jnp.asarray(imu_dt), jnp.asarray(imu_on),
+                            jnp.asarray(self.cur_bias))
+
+        if self._pipe is None:
+            # seed a fresh chain from the host mirror
+            for k in np.where(self.feat_valid)[0]:
+                if not m.lm_alive[self.feat_lm[k]]:
+                    self.feat_valid[k] = False
+            lm_world = np.zeros((N, 3), np.float32)
+            sel = self.feat_valid
+            if sel.any():
+                lm_world[sel] = np.stack(
+                    [m.lm_world[i] for i in self.feat_lm[sel]])
+            if self._slot_gen is None:
+                self._slot_gen = np.zeros(N, np.int32)
+            t_since = (self.last_time - self.last_kf_time
+                       if self.last_kf_time is not None else 0.0)
+            self._pipe = dict(
+                pyr=self.last_pyr,
+                feat_px=jnp.asarray(self.feat_px),
+                feat_valid=jnp.asarray(self.feat_valid),
+                feat_gen=jnp.asarray(self._slot_gen),
+                lm_world=jnp.asarray(lm_world),
+                pose=jnp.asarray(self.last_pose),
+                relative=jnp.asarray(self.relative),
+                vel=jnp.asarray(self.cur_vel),
+                t_since_kf=jnp.float32(t_since))
+            self._corr_injected = self._corr_total.copy()
+
+        # injections: rigid correction delta + canonical world refresh
+        corr = np_se3.se3_mul(self._corr_total,
+                              np_se3.se3_inv(self._corr_injected))
+        use_corr = bool(np.abs(corr - np.array(
+            [1, 0, 0, 0, 0, 0, 0], np.float32)).max() > 1e-7)
+        self._corr_injected = self._corr_total.copy()
+        lm_refresh = np.zeros((N, 3), np.float32)
+        refresh_gen = np.full(N, -1, np.int32)
+        kill_gen = np.full(N, -1, np.int32)
+        for s in np.where(self.feat_valid & (self.feat_lm >= 0))[0]:
+            lid = int(self.feat_lm[s])
+            if m.lm_alive[lid]:
+                lm_refresh[s] = m.lm_world[lid]
+                refresh_gen[s] = self._slot_gen[s]
+            else:
+                kill_gen[s] = self._slot_gen[s]
+                self.feat_valid[s] = False
+
+        gen = self._pipe_gen
+        self._pipe_gen += 1
+        dts = np.diff([t_prev0 if t_prev0 is not None else times[0]]
+                      + times).astype(np.float32)
+        p = self._pipe
+        out = self._pipe_step(
+            tuple(l for _, l, _ in buf), jnp.asarray(buf[-1][2]),
+            p["pyr"], p["feat_px"], p["feat_valid"], p["feat_gen"],
+            p["lm_world"], p["pose"], p["relative"], p["vel"],
+            p["t_since_kf"],
+            jnp.asarray(corr), jnp.asarray(use_corr),
+            jnp.asarray(lm_refresh), jnp.asarray(refresh_gen),
+            jnp.asarray(kill_gen), jnp.int32(gen), jnp.asarray(dts),
+            *imu_args)
+        (pyr, fpx, fval, fgen, lmw, pose, rel, vel, t_since,
+         packed, kf_packed, extras) = out
+        self._pipe = dict(pyr=pyr, feat_px=fpx, feat_valid=fval,
+                          feat_gen=fgen, lm_world=lmw, pose=pose,
+                          relative=rel, vel=vel, t_since_kf=t_since)
+        self._pipe_last_time = times[-1]
+        return dict(packed=packed, kf=kf_packed, extras=extras, vel=vel,
+                    pyr=pyr, times=times, gen=gen,
+                    imu_samples=imu_samples,
+                    frame=self._corr_total.copy(), discard=False)
+
+    def _process_flush(self, h):
+        """Mirror one finished batch into the host map (runs while the
+        device computes the NEXT batch)."""
+        from lvio_fusion_tpu.core.frontend import (
+            unpack_keyframe_desc, unpack_keyframe_robot,
+            unpack_track_result,
+        )
+        from lvio_fusion_tpu.utils import np_se3
+        c, m = self.cfg, self.map
+        B, N = c.frame_batch, c.num_features
+        for ts, accs, gyrs in h["imu_samples"]:
+            self._kf_t += ts
+            self._kf_acc += accs
+            self._kf_gyr += gyrs
+        if h["discard"]:
+            return
+        packed_np, kf_np, extras_np, vel_np = jax.device_get(
+            (h["packed"], h["kf"], h["extras"], h["vel"]))
+        rows = [unpack_track_result(packed_np[b], N) for b in range(B)]
+        assigned = extras_np[:N].astype(np.int32)
+        need_kf = extras_np[N] > 0.5
+        times = h["times"]
+        # corrections applied to the map since this batch was dispatched
+        dC = np_se3.se3_mul(self._corr_total, np_se3.se3_inv(h["frame"]))
+
+        self.last_pyr = h["pyr"]  # the mirror's frame (LOST re-seed /
+        # finalize / checkpoint all track from this batch's final image)
+        lost_at = next(
+            (b for b in range(B)
+             if rows[b][3] <= c.num_features_tracking_bad), None)
+        if lost_at is not None:
+            self._process_pipe_lost(rows, kf_np, times, lost_at, dC)
+            return
+
+        pose = np_se3.se3_mul(dC, rows[-1][2]).astype(np.float32)
+        self.feat_px = rows[-1][0].copy()
+        self.feat_valid = rows[-1][1].copy()
+        if B >= 2:
+            self.relative = np_se3.se3_mul(
+                np_se3.se3_inv(rows[-2][2]), rows[-1][2])
+            self._rel_dt = times[-1] - times[-2]
+        self.cur_vel = np_se3.quat_rotate(dC[:4], vel_np).astype(np.float32)
+
+        if need_kf:
+            pose = self._process_pipe_keyframe(h, kf_np, assigned, pose,
+                                               times)
+        self.last_pose = np.asarray(pose, np.float32)
+        self.last_time = times[-1]
+
+    def _process_pipe_keyframe(self, h, kf_np, assigned, pose, times):
+        """Host mirror of a device-side keyframe: map insertion,
+        landmark allocation (with covisibility re-association), BA
+        dispatch, lidar/global stages. All rigid pose changes to the new
+        kf fold into self._corr_total for later chain injection."""
+        from lvio_fusion_tpu.core.frontend import (
+            unpack_keyframe_desc, unpack_keyframe_robot,
+        )
+        from lvio_fusion_tpu.utils import np_se3
+        c, m = self.cfg, self.map
+
+        corr = self._finish_pending_ba()
+        if corr is not None:
+            pose = np_se3.se3_mul(corr, pose).astype(np.float32)
+            self._corr_total = np_se3.se3_mul(
+                corr, self._corr_total).astype(np.float32)
+            if c.use_imu and self.imu_initialized:
+                self.cur_vel = np_se3.quat_rotate(
+                    corr[:4], self.cur_vel).astype(np.float32)
+                self.cur_bias = m.kf_bias[m.num_kfs - 1].copy()
+
+        kf_idx = m.add_keyframe(
+            times[-1], pose, vel=self.cur_vel, bias=self.cur_bias,
+            weights=np.array([c.visual_weight, 1.0, 0.01], np.float32))
+        # observations of features tracked through the batch
+        trk = self.feat_valid & (assigned < 0) & (self.feat_lm >= 0)
+        if trk.any():
+            m.add_observations(kf_idx, self.feat_lm[trk],
+                               self.feat_px[trk])
+
+        # landmark allocation for device-assigned detections
+        desc, desc_ok = unpack_keyframe_desc(kf_np)
+        det_px = kf_np[:, 0:2].astype(np.float32)
+        det_px_r = kf_np[:, 2:4].astype(np.float32)
+        inv_d = kf_np[:, 4].astype(np.float32)
+        world = np_se3.se3_apply_batch(
+            pose, unpack_keyframe_robot(kf_np)).astype(np.float32)
+        slots = np.where(assigned >= 0)[0]
+        dets = assigned[slots]
+        det_mask = np.zeros(len(kf_np), bool)
+        det_mask[dets] = True
+        tracked_ids = set(self.feat_lm[trk].tolist())
+        pairs = dict(self._covis_match(kf_idx, det_px, det_mask, desc,
+                                       desc_ok, pose, tracked_ids))
+        for s, d in zip(slots, dets):
+            d = int(d)
+            if d in pairs:
+                lid = pairs[d]
+            else:
+                lid = int(m.add_landmarks(
+                    kf_idx, det_px_r[d:d + 1], det_px[d:d + 1],
+                    inv_d[d:d + 1], world[d:d + 1],
+                    descs=[desc[d] if desc_ok[d] else None])[0])
+            m.add_observations(kf_idx, [lid], [det_px[d]])
+            self.feat_lm[s] = lid
+            self.feat_px[s] = det_px[d]
+            self.feat_valid[s] = True
+            self._slot_gen[s] = h["gen"]
+        self.last_kf_time = times[-1]
+
+        if self.agent is not None:
+            obs = self._kf_observation(kf_idx)
+            m.kf_weights[kf_idx] = self.agent.update_weights(obs)
+
+        # everything below may rigidly move the new kf (VI gravity
+        # alignment, synchronous BA on global-stage kfs, global tails):
+        # capture the net effect and fold it into the chain correction
+        ref_before = np.asarray(m.kf_pose[kf_idx]).copy()
+        if c.use_imu:
+            self._attach_kf_preintegration(kf_idx)
+            self._maybe_initialize_imu(times[-1])
+        if c.use_lidar:
+            self._attach_kf_lidar(kf_idx, times[-1])
+        run_global = ((c.use_navsat or c.use_loop)
+                      and kf_idx % c.global_every_kfs == 0)
+        if c.async_ba and not run_global:
+            self._pending_ba = self.backend.dispatch(
+                m, imu_ready=self.imu_initialized)
+            sync_ba = False
+        else:
+            self.backend.optimize(m, imu_ready=self.imu_initialized)
+            sync_ba = True
+        if c.use_lidar:
+            self._run_lidar_mapping()
+        if run_global:
+            self._run_global_stage()
+        C_step = np_se3.se3_mul(np.asarray(m.kf_pose[kf_idx]),
+                                np_se3.se3_inv(ref_before))
+        if np.abs(C_step - np.array([1, 0, 0, 0, 0, 0, 0],
+                                    np.float32)).max() > 1e-7:
+            self._corr_total = np_se3.se3_mul(
+                C_step, self._corr_total).astype(np.float32)
+        if sync_ba and c.use_imu and self.imu_initialized:
+            self.cur_vel = m.kf_vel[kf_idx].copy()
+            self.cur_bias = m.kf_bias[kf_idx].copy()
+        return np.asarray(m.kf_pose[kf_idx])
+
+    def _process_pipe_lost(self, rows, kf_np, times, lost_at, dC):
+        """Tracking collapsed inside an already-finished batch: LOST
+        handling one batch late (extrapolate, re-init from the
+        speculative detection, reset the device chain, discard the
+        in-flight batch)."""
+        from lvio_fusion_tpu.core.frontend import (
+            KeyframeResult, unpack_keyframe_desc,
+        )
+        from lvio_fusion_tpu.utils import np_se3
+        c, m = self.cfg, self.map
+        if self.imu_initialized:
+            self.imu_initialized = False
+            self._imu_init_stage = 0
+        self.status = self.LOST
+        pose = (np_se3.se3_mul(dC, rows[lost_at - 1][2]) if lost_at > 0
+                else self.last_pose)
+        B = c.frame_batch
+        for _ in range(B - lost_at if lost_at > 0 else B):
+            pose = np_se3.se3_mul(pose, self.relative)
+        corr = self._finish_pending_ba()
+        if corr is not None:
+            pose = np_se3.se3_mul(corr, pose)
+            self._corr_total = np_se3.se3_mul(
+                corr, self._corr_total).astype(np.float32)
+        self.feat_valid[:] = False
+        valid = kf_np[:, 8] > 0.5
+        if valid.sum() >= c.num_features_init:
+            world = np_se3.se3_apply_batch(pose, kf_np[:, 9:12])
+            kf = KeyframeResult(
+                new_px_left=kf_np[:, 0:2], new_px_right=kf_np[:, 2:4],
+                inv_depth=kf_np[:, 4], world=world, valid=valid)
+            desc, desc_ok = unpack_keyframe_desc(kf_np)
+            kf_idx = m.add_keyframe(
+                times[-1], pose, weights=np.array(
+                    [c.visual_weight, 1.0, 0.01], np.float32))
+            self._insert_new_landmarks(kf_idx, kf, valid, descs=desc,
+                                       descs_ok=desc_ok)
+            self.last_kf_time = times[-1]
+            self.status = self.TRACKING
+        else:
+            self.status = self.BUILDING
+        self.last_pose = np.asarray(pose, np.float32)
+        self.last_time = times[-1]
+        # the in-flight batch chained on the bad state: drop it, and
+        # re-seed the chain from the host at the next dispatch. The
+        # re-init features were detected on THIS batch's final frame, so
+        # its pyramid (held alive by the handles) re-seeds the chain.
+        if self._slot_gen is not None:
+            self._slot_gen[:] = self._pipe_gen
+        self._pipe = None
+        if self._pending_flush is not None:
+            self._pending_flush["discard"] = True
+
+    def _drain_pipe(self):
+        """Process any in-flight pipelined batch and hand the tracking
+        state back to the host (finalize / checkpoint / mode switch)."""
+        h, self._pending_flush = self._pending_flush, None
+        if h is not None:
+            self._process_flush(h)
+        if self._pipe is not None:
+            self.last_pyr = self._pipe["pyr"]
+            self._pipe = None
+        self._dev = None
 
     # ------------------------------------------------------------------
 
@@ -1140,26 +1542,44 @@ class Estimator:
     def _covisibility_reassociate(self, kf_idx, det_px, det_valid, desc,
                                   desc_ok, pose):
         """Re-attach new detections to EXISTING landmarks seen by recent
-        same-heading keyframes (local_map.cpp:271-368: covisibility kfs +
-        radius/angle-gated Hamming kNN Search). Without this, a landmark
-        lost by LK is gone forever and a duplicate is minted in its place —
-        a major drift source. Returns the mask of consumed detections.
+        same-heading keyframes (local_map.cpp:271-368). Returns the mask
+        of consumed detections; claims free feature slots for matches."""
+        matched = np.zeros(len(det_px), bool)
+        tracked = set(self.feat_lm[self.feat_valid].tolist())
+        pairs = self._covis_match(kf_idx, det_px, det_valid, desc, desc_ok,
+                                  pose, tracked)
+        free = list(np.where(~self.feat_valid)[0])
+        for d, lid in pairs:
+            if not free:
+                break
+            matched[d] = True
+            self.map.add_observations(kf_idx, [lid], [det_px[d]])
+            slot = free.pop(0)
+            self.feat_px[slot] = det_px[d]
+            self.feat_lm[slot] = lid
+            self.feat_valid[slot] = True
+        return matched
+
+    def _covis_match(self, kf_idx, det_px, det_valid, desc, desc_ok, pose,
+                     tracked):
+        """Covisibility matching core (local_map.cpp:271-368: covisibility
+        kfs + radius/angle-gated Hamming kNN Search). Without this, a
+        landmark lost by LK is gone forever and a duplicate is minted in
+        its place — a major drift source. Returns a list of unique
+        (detection_row, landmark_id) matches, best first.
 
         All matching runs on the host (numpy XOR + popcount over a few
         hundred candidates) — the descriptors already came back in the
         keyframe fetch, so this costs zero extra device round trips."""
         c = self.cfg
         m = self.map
-        D = len(det_px)
-        matched = np.zeros(D, bool)
         if not c.use_covisibility or kf_idx == 0:
-            return matched
+            return []
 
         # candidate landmarks: observed by the last covis_kfs keyframes
         # whose heading is within covis_max_angle, still alive, not
         # currently tracked, and carrying a descriptor
         q_new = np.asarray(pose[:4], np.float64)
-        tracked = set(self.feat_lm[self.feat_valid].tolist())
         cand: dict = {}
         for g in range(max(0, kf_idx - c.covis_kfs), kf_idx):
             q = np.asarray(m.kf_pose[g][:4], np.float64)
@@ -1173,7 +1593,7 @@ class Estimator:
                         and m.lm_desc[i] is not None):
                     cand[i] = True
         if not cand:
-            return matched
+            return []
         cand_ids = np.fromiter(cand.keys(), np.int64)
 
         # project candidates into the new keyframe (host-side pinhole)
@@ -1191,11 +1611,11 @@ class Estimator:
                & (proj[:, 1] >= 0) & (proj[:, 1] < c.height))
         cand_ids, proj = cand_ids[vis], proj[vis]
         if len(cand_ids) == 0:
-            return matched
+            return []
 
         sel = np.where(det_valid & desc_ok)[0]
         if len(sel) == 0:
-            return matched
+            return []
         # radius gate + Hamming distances (Search: ratio 0.8, dist < 50)
         d2 = np.linalg.norm(det_px[sel][:, None, :] - proj[None, :, :],
                             axis=-1)
@@ -1215,25 +1635,19 @@ class Estimator:
         # greedy unique assignment (best distance first)
         order = np.argsort(dbest)
         used = set()
-        free = list(np.where(~self.feat_valid)[0])
+        pairs = []
         for k in order:
-            if not good[k] or not free:
+            if not good[k]:
                 continue
             lid = int(cand_ids[best[k]])
             if lid in used:
                 continue
             used.add(lid)
-            d = int(sel[k])
-            matched[d] = True
-            self.map.add_observations(kf_idx, [lid], [det_px[d]])
-            slot = free.pop(0)
-            self.feat_px[slot] = det_px[d]
-            self.feat_lm[slot] = lid
-            self.feat_valid[slot] = True
+            pairs.append((int(sel[k]), lid))
         if used:
             from lvio_fusion_tpu.utils.profiling import COUNTERS
             COUNTERS["frontend.reassociated"] += len(used)
-        return matched
+        return pairs
 
     def _insert_new_landmarks(self, kf_idx, kf, valid, descs=None,
                               descs_ok=None):

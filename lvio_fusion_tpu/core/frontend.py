@@ -94,6 +94,7 @@ class FrontendFns(NamedTuple):
     frame_step_chained: object  # device-resident state chaining
     level0: object         # unpadded full-res level of a chained pyramid
     make_batch_kf_step: object  # B frames + speculative kf stage, 1 dispatch
+    make_pipe_step: object  # device-autonomous B-frame step (lag-1 pipe)
 
 
 def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
@@ -407,6 +408,136 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         _batch_steps[key] = batch_kf_step
         return batch_kf_step
 
+    _pipe_steps = {}
+
+    def make_pipe_step(B: int, kf_thresh: int, max_kf_interval: float,
+                       imu_cap: int = 0, g_norm: float = 9.81007):
+        """Device-AUTONOMOUS B-frame step for the lag-1 pipelined
+        frontend: the keyframe decision AND the feature merge happen
+        on-device, so the tracking chain never blocks on host processing
+        (the host mirrors results one batch later, while the device
+        computes the next batch — the reference's frontend thread never
+        waits for the backend either, backend.cpp:28-40).
+
+        Chain state (all device-resident): pyramid, feat_px, feat_valid,
+        feat_gen (the batch id that assigned each slot — guards stale
+        host refreshes), lm_world, pose, relative, vel, t_since_kf.
+
+        Host->chain injections, applied BEFORE tracking:
+          * corr (7,) + use_corr: rigid left-multiply of pose + lm_world
+            (BA writeback / gravity alignment / global-stage tail
+            corrections, accumulated host-side since the last dispatch)
+          * lm_refresh (N,3) + refresh_gen (N,): canonical (BA-refined)
+            world positions, applied only where refresh_gen ==
+            feat_gen (slots re-assigned by an in-flight keyframe keep
+            their fresher on-device triangulation)
+
+        Returns (chain', packed (B, N*3+8), kf_packed (M, 29),
+        extras (N+4,): [assigned_det (N) | need_kf | min_inl |
+        final_inl | t_since_kf']).
+        """
+        key = (B, kf_thresh, round(max_kf_interval, 6), imu_cap)
+        if key in _pipe_steps:
+            return _pipe_steps[key]
+
+        from lvio_fusion_tpu.ops.imu_preint import (
+            predict_from_delta, preintegrate_light,
+        )
+
+        @jax.jit
+        def pipe_step(imgs_u8, img_right_u8, pyr_last, feat_px, feat_valid,
+                      feat_gen, lm_world, pose, relative, vel, t_since_kf,
+                      corr, use_corr, lm_refresh, refresh_gen, kill_gen,
+                      batch_gen, frame_dts,
+                      imu_acc=None, imu_gyr=None, imu_dt=None, imu_on=None,
+                      bias=None):
+            N = feat_px.shape[0]
+            # ---- injections ----
+            pose = jnp.where(use_corr, se3_mul(corr, pose), pose)
+            lm_world = jnp.where(
+                use_corr,
+                jax.vmap(lambda p: se3_apply(corr, p))(lm_world), lm_world)
+            from lvio_fusion_tpu.geometry.so3 import quat_rotate as _qr
+            vel = jnp.where(use_corr, _qr(corr[:4], vel), vel)
+            lm_world = jnp.where((refresh_gen == feat_gen)[:, None]
+                                 & (refresh_gen >= 0)[:, None],
+                                 lm_refresh, lm_world)
+            # retire slots whose landmark died host-side (outlier
+            # lifecycle), generation-guarded like the refresh
+            feat_valid = feat_valid & ~((kill_gen == feat_gen)
+                                        & (kill_gen >= 0))
+
+            # ---- track B frames ----
+            packed_rows = []
+            inls = []
+            for b in range(B):
+                pyr_cur = _pyramid(imgs_u8[b])
+                if imu_cap:
+                    dp, dq, dv, sdt = preintegrate_light(
+                        imu_acc[b], imu_gyr[b], imu_dt[b],
+                        bias[:3], bias[3:])
+                    pp, pv = predict_from_delta(pose, vel, dp, dq, dv,
+                                                sdt, g_norm)
+                    vel = jnp.where(imu_on[b], pv, vel)
+                    pose_pred = jnp.where(imu_on[b], pp,
+                                          se3_mul(pose, relative))
+                else:
+                    pose_pred = se3_mul(pose, relative)
+                r = _track(pyr_last, pyr_cur, feat_px, feat_valid,
+                           lm_world, pose_pred)
+                relative = se3_mul(se3_inv(pose), r.pose)
+                pose = r.pose
+                feat_px, feat_valid = r.pts, r.ok
+                packed_rows.append(jnp.concatenate([
+                    r.pts.reshape(-1), r.ok.astype(jnp.float32), r.pose,
+                    r.num_inliers.astype(jnp.float32)[None]]))
+                inls.append(r.num_inliers)
+                pyr_last = pyr_cur
+
+            # ---- speculative keyframe stage on the final frame ----
+            pyr_right = _pyramid(img_right_u8)
+            kf, pb_tri, desc, desc_ok = _make_keyframe(
+                pyr_last, pyr_right, feat_px, feat_valid, pose)
+            kf_packed = _pack_keyframe(kf, pb_tri, desc, desc_ok)
+
+            # ---- device-side keyframe decision + feature merge ----
+            min_inl = jnp.min(jnp.stack(inls))
+            t_since_kf = t_since_kf + jnp.sum(frame_dts)
+            need_kf = (min_inl < kf_thresh) \
+                | (t_since_kf >= max_kf_interval)
+            free_slots = jnp.nonzero(~feat_valid, size=N, fill_value=N)[0]
+            M = kf.valid.shape[0]
+            det_ids = jnp.nonzero(kf.valid, size=M, fill_value=M)[0]
+            take = min(N, M)
+            tgt = jnp.where(need_kf, free_slots[:take],
+                            jnp.full(take, N))  # N = dropped
+            src = det_ids[:take]
+            src_ok = src < M
+            tgt = jnp.where(src_ok, tgt, N)
+            safe_src = jnp.minimum(src, M - 1)
+            feat_px = feat_px.at[tgt].set(kf.new_px_left[safe_src],
+                                          mode="drop")
+            lm_world = lm_world.at[tgt].set(kf.world[safe_src],
+                                            mode="drop")
+            feat_valid = feat_valid.at[tgt].set(True, mode="drop")
+            feat_gen = feat_gen.at[tgt].set(batch_gen, mode="drop")
+            # slot -> detection-row assignment for the host mirror
+            assigned = jnp.full(N + 1, -1, jnp.int32).at[tgt].set(
+                src.astype(jnp.int32), mode="drop")[:N]
+            t_since_kf = jnp.where(need_kf, 0.0, t_since_kf)
+
+            extras = jnp.concatenate([
+                assigned.astype(jnp.float32),
+                jnp.stack([need_kf.astype(jnp.float32),
+                           min_inl.astype(jnp.float32),
+                           inls[-1].astype(jnp.float32), t_since_kf])])
+            return (pyr_last, feat_px, feat_valid, feat_gen, lm_world,
+                    pose, relative, vel, t_since_kf, jnp.stack(packed_rows),
+                    kf_packed, extras)
+
+        _pipe_steps[key] = pipe_step
+        return pipe_step
+
     @jax.jit
     def landmark_world(anchor_poses, first_obs, inv_depths):
         """Recompute world positions: right-camera ray at the anchor
@@ -418,4 +549,4 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     return FrontendFns(preprocess, track_frame, make_keyframe,
                        landmark_world, frame_step, keyframe_step,
                        frame_step_chained, jax.jit(_level0),
-                       make_batch_kf_step)
+                       make_batch_kf_step, make_pipe_step)

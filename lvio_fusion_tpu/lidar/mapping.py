@@ -177,6 +177,37 @@ class LidarMapping:
             pw = np.asarray(jax.vmap(lambda p: se3_apply(pose, p))(pts))
             store[kf_idx] = (pw.astype(np.float32), f[name + "_valid"])
 
+    def global_map(self, resolution: float = None) -> np.ndarray:
+        """Merge ALL keyframes' world clouds into one voxel-downsampled
+        point set (Mapping::GetGlobalMap, mapping.cpp:231-249, minus the
+        RViz RGB coloring — consumers get raw xyz). Pure numpy: the
+        global map is unbounded, so this stays off the fixed-shape
+        device path."""
+        res = self.resolution if resolution is None else resolution
+        pts = []
+        for store in (self.world_ground, self.world_surf):
+            for p, v in store.values():
+                pts.append(p[v])
+        if not pts:
+            return np.zeros((0, 3), np.float32)
+        allp = np.concatenate(pts).astype(np.float32)
+        # hash-grid voxel dedup (keep one point per res-cell)
+        cell = np.floor(allp / max(res, 1e-6)).astype(np.int64)
+        _, keep = np.unique(cell, axis=0, return_index=True)
+        return allp[np.sort(keep)]
+
+    def save_global_map(self, path: str, resolution: float = None):
+        """Write the merged global map as an ASCII PLY point cloud."""
+        pts = self.global_map(resolution)
+        with open(path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n"
+                    f"element vertex {len(pts)}\n"
+                    "property float x\nproperty float y\nproperty float z\n"
+                    "end_header\n")
+            for p in pts:
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+        return len(pts)
+
     def _local_map(self, kf_idx):
         """Merge the last num_map_kfs world clouds before kf_idx."""
         prev = [i for i in sorted(self.world_ground) if i < kf_idx]

@@ -31,8 +31,12 @@ _SHAPE_FIELDS = (
 
 
 def save_estimator(est, path: str) -> None:
-    """Serialize the full host-side state. Finishes any in-flight async
-    BA first so the map is fully solved at the cut point."""
+    """Serialize the full host-side state. Drains any in-flight
+    pipelined batch and finishes any in-flight async BA first so the map
+    is fully mirrored and solved at the cut point."""
+    if getattr(est, "_pending_flush", None) is not None \
+            or getattr(est, "_pipe", None) is not None:
+        est._drain_pipe()
     est._finish_pending_ba()
     state = {
         # frontend / tracker
@@ -170,3 +174,12 @@ def load_estimator(est, path: str) -> None:
     est._pending_ba = None
     est._dev = None
     est._fbuf = []
+    # pipelined-frontend chain resets; it re-seeds from the mirror
+    est._pipe = None
+    est._pending_flush = None
+    est._pipe_last_time = None
+    est._pipe_imu_anchor = None
+    if est._slot_gen is not None:
+        est._slot_gen[:] = 0
+    est._corr_total = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+    est._corr_injected = est._corr_total.copy()

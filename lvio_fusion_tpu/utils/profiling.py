@@ -32,6 +32,13 @@ class StageTimers:
             self.count[name] += 1
             self.max[name] = max(self.max[name], dt)
 
+    def reset(self):
+        """Drop accumulated stats (e.g. after a warmup phase, so reports
+        reflect steady state rather than compile time)."""
+        self.total.clear()
+        self.count.clear()
+        self.max.clear()
+
     def snapshot(self) -> dict:
         return {
             name: {

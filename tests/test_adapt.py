@@ -27,9 +27,18 @@ def test_observation_grid():
 
 
 def test_action_mapping():
+    # log-uniform over [1e-4, 100]: midpoint action hits the geometric
+    # mean, and defaults are representable (exact round trip)
     w = action_to_weights(jnp.asarray([-1.0, 0.0, 1.0]))
-    np.testing.assert_allclose(np.asarray(w), [1e-4, 50.00005, 100.0],
+    np.testing.assert_allclose(np.asarray(w), [1e-4, 0.1, 100.0],
                                rtol=1e-4)
+    from lvio_fusion_tpu.adapt.observation import (
+        default_weights, weights_to_action,
+    )
+    dw = default_weights(500.0)
+    np.testing.assert_allclose(
+        np.asarray(action_to_weights(weights_to_action(dw))),
+        np.asarray(dw), rtol=1e-5)
 
 
 def test_td3_update_runs():

@@ -62,3 +62,38 @@ def test_knn_planes():
     assert bool(ok.all())
     # normals must be +-z for the ground plane
     assert float(jnp.abs(jnp.abs(n[:, 2]) - 1.0).max()) < 1e-3
+
+
+def test_global_map_export(tmp_path):
+    """Mapping::GetGlobalMap parity: merged, voxel-deduped world cloud
+    + PLY export (mapping.cpp:231-249)."""
+    import numpy as np
+    from lvio_fusion_tpu.core.hostmap import HostMap
+    from lvio_fusion_tpu.lidar.mapping import LidarMapping
+
+    m = HostMap()
+    mapping = LidarMapping(resolution=0.2)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        pose = np.array([1, 0, 0, 0, i * 1.0, 0, 0], np.float32)
+        m.add_keyframe(float(i), pose)
+        pts = rng.uniform(-2, 2, (128, 3)).astype(np.float32)
+        v = np.ones(128, bool)
+        v[100:] = False
+        m.kf_lidar[i] = {"ground": pts, "ground_valid": v,
+                         "surf": pts + 5.0, "surf_valid": v}
+        mapping.to_world(m, i)
+
+    g = mapping.global_map()
+    assert g.ndim == 2 and g.shape[1] == 3
+    assert 0 < len(g) <= 3 * 2 * 100  # dedup never grows the set
+    # duplicated points collapse: render kf0 twice -> same size
+    n1 = len(g)
+    mapping.to_world(m, 0)
+    assert len(mapping.global_map()) == n1
+
+    out = tmp_path / "map.ply"
+    n = mapping.save_global_map(str(out))
+    head = out.read_text().splitlines()
+    assert head[0] == "ply" and f"element vertex {n}" in head[2]
+    assert len(head) == 7 + n

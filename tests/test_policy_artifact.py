@@ -79,11 +79,10 @@ def test_shipped_policy_loads_and_beats_default_weights():
     # default-weight baseline: the constant action whose weights are the
     # per-frame defaults (visual=fx/10, ground=1, surf=0.01)
     from lvio_fusion_tpu.adapt.observation import (
-        WEIGHT_HIGH, WEIGHT_LOW, default_weights,
+        default_weights, weights_to_action,
     )
-    dw = np.asarray(default_weights(float(est.cam_left.fx)))
-    a_def = 2.0 * (dw - WEIGHT_LOW) / (WEIGHT_HIGH - WEIGHT_LOW) - 1.0
-    a_def = jnp.asarray(np.clip(a_def, -1, 1))
+    dw = default_weights(float(est.cam_left.fx))
+    a_def = jnp.asarray(weights_to_action(dw))
 
     r_policy = np.mean([rollout(
         lambda o: agent.act(agent.state.actor, o), s) for s in (0, 1, 2)])
@@ -93,3 +92,64 @@ def test_shipped_policy_loads_and_beats_default_weights():
     print(f"policy reward {r_policy:.3f} vs default {r_default:.3f}")
     assert r_policy >= 0.95 * r_default, \
         f"trained policy underperforms defaults: {r_policy} < {r_default}"
+
+
+@pytest.mark.skipif(not os.path.exists(ART),
+                    reason="policy artifact not built yet")
+def test_policy_end_to_end_ate_delta():
+    """The round-3 metric: the policy's value is its effect on END-TO-END
+    trajectory error, not env reward. Run the same LVIO sequence with
+    default weights and with the shipped policy driving the per-keyframe
+    weights; report the ATE delta and require the policy not to degrade
+    the trajectory materially (improvement is scene-dependent: on an
+    easy synthetic scene defaults are already near-optimal)."""
+    from lvio_fusion_tpu.adapt.agent import Agent, load_policy
+    from lvio_fusion_tpu.adapt.td3 import TD3
+    from lvio_fusion_tpu.core.estimator import Estimator, EstimatorConfig
+    from lvio_fusion_tpu.datasets.synthetic import make_sequence
+    from lvio_fusion_tpu.utils.trajectory import ate_rmse
+
+    seq = make_sequence(num_frames=30, H=240, W=360, num_points=400, seed=7,
+                        with_imu=True, with_lidar=True, lidar_rows=16,
+                        lidar_cols=360)
+
+    def run(with_policy):
+        cfg = EstimatorConfig(
+            height=240, width=360, num_features=200, num_features_init=30,
+            num_features_tracking_bad=10,
+            num_features_needed_for_keyframe=80,
+            window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
+            ba_iters=5, cell=24, occupy_radius=10,
+            use_imu=True, use_lidar=True, init_kfs=8,
+            max_keyframe_interval=0.3,
+            num_scans=16, horizon_scan=360, ang_res_y=2.0, ang_bottom=15.0,
+            ground_rows=8, min_range=1.0, max_range=50.0,
+            max_scan_points=8192, max_ground=512, max_surf=512,
+            lidar_map_cap=2048, lidar_up_axis="y")
+        est = Estimator(seq.cam_left, seq.cam_right, cfg,
+                        lidar_extrinsic=seq.lidar_extrinsic)
+        if with_policy:
+            est.set_agent(Agent(load_policy(TD3(seed=0), ART)))
+        imu_i = 0
+        for i, fr in enumerate(seq.frames):
+            while (imu_i < len(seq.imu_times)
+                   and seq.imu_times[imu_i] <= fr.time):
+                est.input_imu(seq.imu_times[imu_i], seq.imu_acc[imu_i],
+                              seq.imu_gyr[imu_i])
+                imu_i += 1
+            est.input_pointcloud(seq.scan_times[i], seq.scans[i])
+            est.input_image(fr.time, fr.left, fr.right)
+        est.finalize()
+        t, p = est.trajectory()
+        idx = np.searchsorted(seq.gt_times, t)
+        gt = seq.gt_poses[np.clip(idx, 0, len(seq.gt_poses) - 1)]
+        return ate_rmse(p[:, 4:], gt[:, 4:], align=True), len(t)
+
+    ate_def, k_def = run(False)
+    ate_pol, k_pol = run(True)
+    print(f"end-to-end ATE default={ate_def:.4f} ({k_def} kfs) "
+          f"policy={ate_pol:.4f} ({k_pol} kfs) "
+          f"delta={ate_pol - ate_def:+.4f}")
+    assert np.isfinite(ate_pol)
+    assert ate_pol <= max(1.5 * ate_def, ate_def + 0.02), \
+        f"policy degrades end-to-end ATE: {ate_pol} vs {ate_def}"
