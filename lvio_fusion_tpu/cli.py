@@ -196,10 +196,18 @@ def cmd_train_rl(args):
     est.finalize()
 
     lm = getattr(est, "lidar_mapping", None)
-    tables = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
-                             est.cam_right, height=240, width=360,
-                             lidar_mapping=lm, drift=args.drift,
-                             drift_seed=0)
+    # train across SEVERAL drift realizations (concatenated along the
+    # keyframe axis) so the policy learns the weight->accuracy mapping,
+    # not one particular drift walk; eval uses a held-out realization
+    import jax as _jax
+    table_sets = [tables_from_map(est.map, seq.gt_times, seq.gt_poses,
+                                  est.cam_right, height=240, width=360,
+                                  lidar_mapping=lm, drift=args.drift,
+                                  drift_seed=s) for s in (0, 2, 3)]
+    def _cat(*xs):
+        xs = [np.asarray(x) for x in xs]
+        return xs[0] if xs[0].ndim == 0 else np.concatenate(xs, axis=0)
+    tables = _jax.tree.map(_cat, *table_sets)
     env = VectorEnv(tables, est.cam_left, num_envs=args.envs,
                     horizon=10, weight_reg=args.weight_reg)
     # held-out evaluation instances: a DIFFERENT drift realization

@@ -165,6 +165,7 @@ class Estimator:
         self._corr_injected = np.asarray(se3_identity())
         self._pipe_last_time = None
         self._pipe_imu_anchor = None
+        self._ext_zero = None  # cached constant device args (non-IMU batch)
         self._fbuf: list = []  # pending (time, left_u8, right_u8) frames
         self.backend = Backend(
             cam_left, cam_right,
@@ -719,7 +720,10 @@ class Estimator:
             if len(self._fbuf) >= self.cfg.frame_batch:
                 return self._flush_pipe()
         else:
-            self._fbuf.append((float(time), img_left_u8,
+            # pre-stage the left-image upload (async device_put): a
+            # synchronous jnp.asarray of the stacked batch costs ~100 ms
+            # of blocking transfer on the tunnel at flush time
+            self._fbuf.append((float(time), jax.device_put(img_left_u8),
                                self._to_u8(img_right)))
             if len(self._fbuf) >= self.cfg.frame_batch:
                 return self._flush_batch()
@@ -737,7 +741,10 @@ class Estimator:
         B = self.cfg.frame_batch
         assert len(buf) == B
         times = [t for t, _, _ in buf]
-        imgs = np.stack([l for _, l, _ in buf])
+        # left images were device_put at buffering time (async transfers,
+        # already resident); the final frame's right image goes up now
+        imgs = tuple(l for _, l, _ in buf)
+        right_dev = jax.device_put(buf[-1][2])
 
         C = self._batch_imu_cap
         if C:
@@ -783,7 +790,7 @@ class Estimator:
             self._sync_device_state()
         d = self._dev
         with TIMERS.time("frontend.flush.dispatch"):
-            common = (jnp.asarray(imgs), jnp.asarray(buf[-1][2]), d["pyr"],
+            common = (imgs, right_dev, d["pyr"],
                       d["feat_px"], d["feat_valid"], d["lm_world"],
                       d["pose"], d["relative"])
             if C:
@@ -793,12 +800,13 @@ class Estimator:
                     jnp.asarray(imu_dt), jnp.asarray(imu_on),
                     jnp.asarray(self.cur_vel), jnp.asarray(self.cur_bias))
             else:
-                ext_preds = np.zeros((B, 7), np.float32)
-                ext_preds[:, 0] = 1.0
-                use_ext = np.zeros(B, bool)
+                if self._ext_zero is None:
+                    ext_preds = np.zeros((B, 7), np.float32)
+                    ext_preds[:, 0] = 1.0
+                    self._ext_zero = (jax.device_put(ext_preds),
+                                      jax.device_put(np.zeros(B, bool)))
                 (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed,
-                 kf_packed) = self._batch_step(
-                    *common, jnp.asarray(ext_preds), jnp.asarray(use_ext))
+                 kf_packed) = self._batch_step(*common, *self._ext_zero)
         self._dev = dict(pyr=pyr_cur, feat_px=fpx_d, feat_valid=fval_d,
                          lm_world=d["lm_world"], pose=pose_d,
                          relative=rel_d)
