@@ -124,6 +124,34 @@ def _build_kaist(args):
     return est, stream(), ds
 
 
+def _build_euroc(args):
+    """EuRoC MAV run: stereo (+IMU) with intrinsics/extrinsics from the
+    reference-format euroc.yaml (ASL directory layout)."""
+    from lvio_fusion_tpu.core.estimator import Estimator
+    from lvio_fusion_tpu.datasets.euroc import EurocMav
+
+    if not args.config:
+        raise SystemExit("euroc needs --config <euroc.yaml-format file> "
+                         "for camera intrinsics/extrinsics")
+    ds = EurocMav(args.root)
+    probe = next(ds.frames(0, 1))
+    H, W = probe.left.shape
+    est = Estimator.from_config(
+        args.config, H, W, frame_batch=getattr(args, "batch", 1),
+        pipelined_flush=getattr(args, "pipelined", False))
+
+    def stream():
+        imu = ds.imu() if est.cfg.use_imu else None
+        ii = 0
+        for fr in ds.frames(0, args.frames if args.frames > 0 else None):
+            if imu is not None:
+                while ii < len(imu.times) and imu.times[ii] <= fr.time:
+                    est.input_imu(imu.times[ii], imu.acc[ii], imu.gyr[ii])
+                    ii += 1
+            yield fr.time, fr.left, fr.right
+    return est, stream(), ds
+
+
 def cmd_run(args):
     from lvio_fusion_tpu.utils.trajectory import write_tum_csv
 
@@ -131,6 +159,8 @@ def cmd_run(args):
         est, stream, _ = _build_synthetic(args)
     elif args.dataset == "kaist":
         est, stream, _ = _build_kaist(args)
+    elif args.dataset == "euroc":
+        est, stream, _ = _build_euroc(args)
     else:
         est, stream, _ = _build_kitti(args)
 
@@ -203,10 +233,13 @@ def cmd_train_rl(args):
     table_sets = [tables_from_map(est.map, seq.gt_times, seq.gt_poses,
                                   est.cam_right, height=240, width=360,
                                   lidar_mapping=lm, drift=args.drift,
-                                  drift_seed=s) for s in (0, 2, 3)]
+                                  drift_seed=s) for s in (0, 2, 3, 4, 5)]
+    import jax.numpy as _jnp
+
     def _cat(*xs):
         xs = [np.asarray(x) for x in xs]
-        return xs[0] if xs[0].ndim == 0 else np.concatenate(xs, axis=0)
+        return _jnp.asarray(xs[0] if xs[0].ndim == 0
+                            else np.concatenate(xs, axis=0))
     tables = _jax.tree.map(_cat, *table_sets)
     env = VectorEnv(tables, est.cam_left, num_envs=args.envs,
                     horizon=10, weight_reg=args.weight_reg)
@@ -228,7 +261,7 @@ def cmd_train_rl(args):
     # learn the value surface around the (good) default-weight init
     agent = TD3(seed=0, init_action=np.asarray(a0),
                 actor_delay=max(100, args.epochs * args.steps // 3),
-                anchor_weight=2.0)
+                anchor_weight=args.anchor)
     agent, hist = train_td3(env, agent, epochs=args.epochs,
                             steps_per_epoch=args.steps,
                             eval_env=eval_env,
@@ -289,7 +322,8 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="run odometry, write trajectory CSV")
-    r.add_argument("--dataset", choices=["synthetic", "kitti", "kaist"],
+    r.add_argument("--dataset",
+                   choices=["synthetic", "kitti", "kaist", "euroc"],
                    default="synthetic")
     r.add_argument("--root", default="", help="dataset root directory")
     r.add_argument("--config", default="",
@@ -336,6 +370,10 @@ def main(argv=None):
                    help="random-walk map drift (m per traveled m) the "
                         "policy trains against (0 = gt-reset like the "
                         "reference)")
+    t.add_argument("--anchor", type=float, default=10.0,
+                   help="TD3+BC anchor strength pulling the actor toward "
+                        "the default-weight action (out-of-distribution "
+                        "drift realizations punish large deviations)")
     t.add_argument("--weight-reg", type=float, default=0.5,
                    help="reward penalty on squared log10-distance of the "
                         "weights from the per-frame defaults (keeps the "
