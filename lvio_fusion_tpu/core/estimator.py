@@ -720,10 +720,7 @@ class Estimator:
             if len(self._fbuf) >= self.cfg.frame_batch:
                 return self._flush_pipe()
         else:
-            # pre-stage the left-image upload (async device_put): a
-            # synchronous jnp.asarray of the stacked batch costs ~100 ms
-            # of blocking transfer on the tunnel at flush time
-            self._fbuf.append((float(time), jax.device_put(img_left_u8),
+            self._fbuf.append((float(time), img_left_u8,
                                self._to_u8(img_right)))
             if len(self._fbuf) >= self.cfg.frame_batch:
                 return self._flush_batch()
@@ -741,9 +738,10 @@ class Estimator:
         B = self.cfg.frame_batch
         assert len(buf) == B
         times = [t for t, _, _ in buf]
-        # left images were device_put at buffering time (async transfers,
-        # already resident); the final frame's right image goes up now
-        imgs = tuple(l for _, l, _ in buf)
+        # ONE async device_put of the stacked batch (a synchronous
+        # jnp.asarray here blocked ~100 ms on the tunnel; per-frame puts
+        # at buffering time cost ~5 ms of enqueue RTT each)
+        imgs = jax.device_put(np.stack([l for _, l, _ in buf]))
         right_dev = jax.device_put(buf[-1][2])
 
         C = self._batch_imu_cap
