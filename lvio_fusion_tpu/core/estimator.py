@@ -1148,6 +1148,19 @@ class Estimator:
             self._slot_gen[s] = h["gen"]
         self.last_kf_time = times[-1]
 
+        if (self.relocator is not None and self.relocator.mode & 1):
+            # visual-relocation descriptors: the detection set's BRIEF
+            # (computed in-program) with the slot-assigned landmark ids —
+            # the per-track descriptor pass of the synchronous path is
+            # not available here, but detections cover the same frame
+            lm_of_det = np.full(len(kf_np), -1, np.int64)
+            for s, d in zip(slots, dets):
+                lm_of_det[int(d)] = self.feat_lm[s]
+            m.kf_desc[kf_idx] = {
+                "desc": desc.copy(), "ok": desc_ok & det_mask,
+                "px": det_px.copy(), "lm": lm_of_det,
+            }
+
         if self.agent is not None:
             obs = self._kf_observation(kf_idx)
             m.kf_weights[kf_idx] = self.agent.update_weights(obs)
