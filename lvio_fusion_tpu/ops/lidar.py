@@ -64,21 +64,27 @@ def project(points, mask, num_scans: int, horizon_scan: int,
     flat = row * horizon_scan + col
     flat = jnp.where(ok, flat, num_scans * horizon_scan)  # spill bin
 
-    rimg = jnp.full((num_scans * horizon_scan + 1,), INVALID_RANGE)
-    rimg = rimg.at[flat].min(jnp.where(ok, rng, INVALID_RANGE))
-    rimg = rimg[:-1].reshape(num_scans, horizon_scan)
+    rflat = jnp.full((num_scans * horizon_scan + 1,), INVALID_RANGE)
+    rflat = rflat.at[flat].min(jnp.where(ok, rng, INVALID_RANGE))
+    rimg = rflat[:-1].reshape(num_scans, horizon_scan)
 
-    # keep the point whose range won the min (approximate: scatter by range
-    # order — we scatter coordinates with .at[].min keyed on range by
-    # packing; simpler: scatter last-write for coordinates, range via min)
+    # store the EXACT min-range winner's coordinates: a point wins its
+    # pixel iff its range equals the scattered min (bitwise — the min came
+    # from these very f32 values); losers are routed to the spill bin so
+    # they cannot clobber the winner. Equal-range ties pick either point
+    # (both are min-range). Fixes the last-write approximation the
+    # reference never had (its projection keeps one point per pixel by
+    # construction, projection.cpp:57-97).
+    win = ok & (rng == rflat[flat])
+    flatw = jnp.where(win, flat, num_scans * horizon_scan)
     pimg = jnp.zeros((num_scans * horizon_scan + 1, 3))
-    pimg = pimg.at[flat].set(jnp.where(ok[:, None], points, 0.0))
+    pimg = pimg.at[flatw].set(points)
     pimg = pimg[:-1].reshape(num_scans, horizon_scan, 3)
     valid = rimg < INVALID_RANGE * 0.5
     if aux is None:
         return rimg, pimg, valid
     aimg = jnp.zeros((num_scans * horizon_scan + 1,), aux.dtype)
-    aimg = aimg.at[flat].set(jnp.where(ok, aux, 0.0))
+    aimg = aimg.at[flatw].set(aux)
     aimg = aimg[:-1].reshape(num_scans, horizon_scan)
     return rimg, pimg, valid, aimg
 

@@ -135,3 +135,61 @@ def test_segmentation_wraps_azimuth_seam():
     sel = np.asarray(ok) & (np.asarray(pimg[..., 0]) < -5.0)
     labs = np.unique(np.asarray(lab)[sel])
     assert len(labs) == 1, f"seam box split into labels {labs}"
+
+
+def test_seam_object_passes_min_px_as_one_component():
+    """Full-circle parity with the reference BFS (projection.cpp:199-320):
+    a single object straddling the column wrap must pass the min-px
+    validity rule as ONE component where either split half alone would
+    fail it."""
+    pts, kinds = synth_scan()
+    mask = jnp.ones(pts.shape[0], bool)
+    rimg, pimg, valid = project(pts, mask, R_SCANS, C_SCAN, ANG_RES_Y,
+                                ANG_BOTTOM)
+    ground = remove_ground(rimg, pimg, valid, GROUND_ROWS)
+    # the seam box's obstacle pixels (wall at x = -5.5, |y| <= 1.5)
+    P = np.asarray(pimg)
+    box_px = (np.asarray(valid & ~ground) & (P[..., 0] <= -5.45)
+              & (P[..., 0] > -8.6) & (np.abs(P[..., 1]) < 1.6))
+    n_box = int(box_px.sum())
+    assert n_box >= 8, f"seam box too small to test ({n_box}px)"
+    # min_px chosen so each half (~n/2) fails but the whole passes;
+    # min_lines high enough that the lines fallback can't rescue a half
+    min_px = int(0.75 * n_box)
+    lab, ok = segment(rimg, valid, ground, min_px=min_px,
+                      min_px_lines=min_px, min_lines=R_SCANS + 1,
+                      ang_res_y=ANG_RES_Y)
+    ok_np, lab_np = np.asarray(ok), np.asarray(lab)
+    labs, counts = np.unique(lab_np[box_px & ok_np], return_counts=True)
+    assert len(labs) == 1, f"seam box split into valid labels {labs}"
+    # the main component carries (nearly) all the box's pixels — each
+    # split half (~n/2 < min_px) would have failed validity entirely
+    assert counts[0] >= min_px, (counts, min_px)
+    assert counts[0] >= 0.9 * n_box, (counts, n_box)
+    # and it genuinely straddles the wrap: pixels on both sides
+    cols = np.where((lab_np == labs[0]).any(0))[0]
+    assert cols.min() < 50 and cols.max() > C_SCAN - 50, cols
+
+
+def test_range_scatter_keeps_min_range_point():
+    """Two points landing in the SAME range-image cell: the stored
+    coordinates (and aux) must belong to the nearer point, exactly."""
+    # same direction, two ranges — same row/col regardless of quantization
+    d = np.array([np.cos(0.1) * np.sin(0.7), np.cos(0.1) * np.cos(0.7),
+                  np.sin(0.1)])
+    near, far = 5.0, 20.0
+    pts = jnp.asarray(np.stack([far * d, near * d]), jnp.float32)
+    mask = jnp.ones(2, bool)
+    aux = jnp.asarray([7.0, 3.0], jnp.float32)
+    rimg, pimg, valid, aimg = project(pts, mask, R_SCANS, C_SCAN,
+                                      ANG_RES_Y, ANG_BOTTOM, aux=aux)
+    r, c = np.argwhere(np.asarray(valid))[0]
+    assert np.isclose(float(rimg[r, c]), near, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pimg[r, c]), near * d, atol=1e-4)
+    assert float(aimg[r, c]) == 3.0, "aux must follow the min-range winner"
+    # order-independence: swapping the scatter order changes nothing
+    rimg2, pimg2, valid2, aimg2 = project(pts[::-1], mask, R_SCANS, C_SCAN,
+                                          ANG_RES_Y, ANG_BOTTOM,
+                                          aux=aux[::-1])
+    np.testing.assert_allclose(np.asarray(pimg2[r, c]), near * d, atol=1e-4)
+    assert float(aimg2[r, c]) == 3.0
