@@ -256,12 +256,9 @@ def tables_from_map(m, gt_times, gt_poses, cam_right, caps=None,
         refl = np.eye(3)
         refl[2, 2] = np.sign(np.linalg.det(U @ Vt))
         R = (U @ refl @ Vt).astype(np.float32)
-        # R,t as an SE3 (quaternion wxyz) applied LEFT to every gt pose
-        w = np.sqrt(max(1.0 + np.trace(R), 1e-12)) / 2.0
-        q = np.array([w, (R[2, 1] - R[1, 2]) / (4 * w),
-                      (R[0, 2] - R[2, 0]) / (4 * w),
-                      (R[1, 0] - R[0, 1]) / (4 * w)], np.float32)
-        q /= np.linalg.norm(q)
+        # R,t as an SE3 (quaternion wxyz) applied LEFT to every gt pose;
+        # Shepperd conversion stays sound for near-180-degree alignments
+        q = np_se3.quat_from_mat(R).astype(np.float32)
         t_align = (mu_q - R @ mu_p).astype(np.float32)
         T_align = np.concatenate([q, t_align])
         poses_gt = np.stack([np_se3.se3_mul(T_align, p)

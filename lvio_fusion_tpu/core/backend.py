@@ -28,6 +28,62 @@ from lvio_fusion_tpu.solver.ba import (
 )
 
 
+def pose_only_refine_np(pose, pw, px, valid, cam, iters: int = 1,
+                        huber_px: float = 4.0, weight: float = 1.0):
+    """Host-side f64 pose-only GN over reprojection factors.
+
+    The reference re-optimizes the FORWARD keyframes (those created while
+    the window solve ran) for one Ceres iteration after applying the rigid
+    correction (Backend::UpdateFrontend, backend.cpp:260-267) — a rigid
+    shift alone leaves them linearized against the pre-BA landmarks. This
+    is the TPU-native placement of that step: a few hundred projections in
+    numpy f64, orders of magnitude below one device round-trip, so the
+    async frontend never waits on an extra dispatch.
+
+    pose (7,), pw (N, 3) landmark worlds, px (N, 2) observed pixels,
+    valid (N,) bool. Returns the refined pose (7,) float32.
+    """
+    from lvio_fusion_tpu.utils import np_se3
+
+    sel = np.asarray(valid, bool)
+    if sel.sum() < 8:
+        return np.asarray(pose, np.float32)
+    pw = np.asarray(pw, np.float64)[sel]
+    px = np.asarray(px, np.float64)[sel]
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    ext_inv = np_se3.se3_inv(np.asarray(cam.extrinsic))
+    pose = np.asarray(pose, np.float64)
+
+    def residual(T):
+        Tcw = np_se3.se3_mul(ext_inv, np_se3.se3_inv(T))
+        pc = np_se3.se3_apply_batch(Tcw, pw).astype(np.float64)
+        z = np.where(np.abs(pc[:, 2]) < 1e-6, 1e-6, pc[:, 2])
+        pred = np.stack([pc[:, 0] / z * fx + cx, pc[:, 1] / z * fy + cy], 1)
+        return (pred - px) * weight
+
+    for _ in range(iters):
+        r = residual(pose)
+        # Huber IRLS weight held at the linearization point
+        n = np.sqrt((r * r).sum(1) + 1e-12)
+        w = np.sqrt(np.minimum(1.0, huber_px / n))[:, None]
+        J = np.zeros((len(pw), 2, 6))
+        h = 1e-6
+        for d in range(6):
+            e = np.zeros(6)
+            e[d] = h
+            J[:, :, d] = (residual(np_se3.se3_boxplus(pose, e))
+                          - residual(np_se3.se3_boxplus(pose, -e))) / (2 * h)
+        rw = (r * w).reshape(-1)
+        Jw = (J * w[:, :, None]).reshape(-1, 6)
+        H = Jw.T @ Jw + 1e-4 * np.eye(6)
+        dx = np.linalg.solve(H, -Jw.T @ rw)
+        if not np.all(np.isfinite(dx)):
+            break
+        pose = np_se3.se3_boxplus(pose, dx).astype(np.float64)
+    return pose.astype(np.float32)
+
+
 class WindowCaps(NamedTuple):
     K: int = 8       # keyframes in the window
     L: int = 512     # landmark slots

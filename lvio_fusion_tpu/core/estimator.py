@@ -117,6 +117,14 @@ class EstimatorConfig:
     imu_frame_buf: int = 64     # max IMU samples per frame interval
     undistort: bool = False     # undistort raw images before the pipeline
     # (reference 'undistort' yaml flag; cameras' k1/k2/p1/p2 must be set)
+    equalize_hist: bool = False  # histogram-equalize frames before
+    # tracking (reference lvio_fusion_node.cpp:94; essential on
+    # low-contrast imagery like EuRoC dark segments / KITTI tunnels)
+    forward_resolve: bool = True  # after the async BA correction lands,
+    # re-solve the forward keyframe's pose for 1 GN iteration against the
+    # refreshed landmarks (Backend::UpdateFrontend, backend.cpp:248-293)
+    navsat_v: bool = False  # GPS-speed seeding of the frame prediction
+    # (reference 'navsat_v' yaml flag; frontend.cpp:49-65,104-106)
 
 
 class Estimator:
@@ -132,7 +140,8 @@ class Estimator:
             cam_left, cam_right, c.height, c.width, c.num_features,
             levels=c.levels, win=c.lk_window, cell=c.cell,
             occupy_radius=c.occupy_radius,
-            remove_moving=c.remove_moving_points, moving_px=c.moving_px)
+            remove_moving=c.remove_moving_points, moving_px=c.moving_px,
+            equalize=c.equalize_hist)
         self.preprocess = fns.preprocess
         self.track_frame = fns.track_frame
         self.make_keyframe = fns.make_keyframe
@@ -226,6 +235,7 @@ class Estimator:
         # lidar state (Estimator::InputPointCloud + FeatureAssociation)
         self._scans: list = []  # (time, np points in lidar frame)
         self._lidar_done = 0    # kfs refined by scan-to-map so far
+        self.lidar_mapping = None
         if c.use_lidar:
             from lvio_fusion_tpu.lidar.mapping import LidarMapping
             from lvio_fusion_tpu.ops.lidar import make_feature_extractor
@@ -307,15 +317,19 @@ class Estimator:
         cam0 = Camera.create(
             c.get("camera0.fx"), c.get("camera0.fy"),
             c.get("camera0.cx"), c.get("camera0.cy"),
-            c.mat44_to_se3("body_to_cam0"))
+            c.mat44_to_se3("body_to_cam0"),
+            k1=c.get("camera0.k1", 0.0), k2=c.get("camera0.k2", 0.0),
+            p1=c.get("camera0.p1", 0.0), p2=c.get("camera0.p2", 0.0))
         cam1 = Camera.create(
             c.get("camera1.fx"), c.get("camera1.fy"),
             c.get("camera1.cx"), c.get("camera1.cy"),
-            c.mat44_to_se3("body_to_cam1"))
+            c.mat44_to_se3("body_to_cam1"),
+            k1=c.get("camera1.k1", 0.0), k2=c.get("camera1.k2", 0.0),
+            p1=c.get("camera1.p1", 0.0), p2=c.get("camera1.p2", 0.0))
         lidar_ext = (np.asarray(c.mat44_to_se3("body_to_lidar"))
                      if "body_to_lidar" in c else None)
 
-        ecfg = EstimatorConfig(
+        parsed = dict(
             height=height, width=width,
             num_features=int(c.get("num_features", 500)),
             num_features_init=int(c.get("num_features_init", 50)),
@@ -343,7 +357,14 @@ class Estimator:
             navsat_accuracy=float(c.get("accuracy", 1.0)),
             loop_threshold=float(c.get("threshold", 10.0)),
             visual_weight=float(c.get("camera0.fx", 500)) / 500.0,
-            **overrides)
+            equalize_hist=bool(c.get("equalize_hist", 0)),
+            navsat_v=bool(c.get("navsat_v", 0)),
+            undistort=bool(c.get("undistort", 0)),
+            remove_moving_points=bool(c.get("remove_moving_points", 1)),
+            relocator_mode=int(c.get("relocator_mode", 2)),
+        )
+        parsed.update(overrides)  # caller overrides beat YAML values
+        ecfg = EstimatorConfig(**parsed)
         return cls(cam0, cam1, ecfg, lidar_extrinsic=lidar_ext)
 
     def _kf_observation(self, kf_idx):
@@ -637,6 +658,26 @@ class Estimator:
                 ext_pred = np.asarray(pose_j)
                 self.cur_vel = np.asarray(vel_j)
                 use_ext = True
+        if (not use_ext and self.cfg.navsat_v and self.navsat is not None
+                and self.navsat.initialized and self.map.num_kfs >= 2
+                and self.last_time is not None and time > self.last_time):
+            # GPS-speed seeding of the frame prediction (frontend.cpp:
+            # 104-106 navsat_v + check_velocity's forward override
+            # relative[3] = v*dt): rescale the constant-velocity
+            # prediction's translation to the GPS-measured speed — VO
+            # scale drift cannot run away from the GNSS track
+            t2 = self.map.kf_time[-1]
+            t1 = self.map.kf_time[-2]
+            v = self.navsat.speed(t2, t1)
+            if v > 0:
+                dt = time - self.last_time
+                rel = self.relative.copy()
+                n = float(np.linalg.norm(rel[4:]))
+                if n > 1e-6:
+                    scale = np.clip((v * dt) / n, 0.25, 4.0)
+                    rel[4:] *= scale
+                    ext_pred = np_se3.se3_mul(self.last_pose, rel)
+                    use_ext = True
 
         # device-chained step: all tracking state stays on device between
         # frames; one image upload, one dispatch, one packed fetch
@@ -741,8 +782,10 @@ class Estimator:
         # ONE async device_put of the stacked batch (a synchronous
         # jnp.asarray here blocked ~100 ms on the tunnel; per-frame puts
         # at buffering time cost ~5 ms of enqueue RTT each)
-        imgs = jax.device_put(np.stack([l for _, l, _ in buf]))
-        right_dev = jax.device_put(buf[-1][2])
+        from lvio_fusion_tpu.utils.profiling import TIMERS
+        with TIMERS.time("frontend.flush.upload"):
+            imgs = jax.device_put(np.stack([l for _, l, _ in buf]))
+            right_dev = jax.device_put(buf[-1][2])
 
         C = self._batch_imu_cap
         if C:
@@ -1325,6 +1368,19 @@ class Estimator:
                 self.cur_vel = np_se3.quat_rotate(
                     corr[:4], self.cur_vel).astype(np.float32)
                 self.cur_bias = self.map.kf_bias[self.map.num_kfs - 1].copy()
+            if self.cfg.forward_resolve and self.feat_valid.any():
+                # one GN iteration against the BA-refreshed landmark
+                # worlds (Backend::UpdateFrontend forward re-solve,
+                # backend.cpp:260-267): the rigid shift alone leaves this
+                # forward pose linearized against pre-BA geometry
+                from lvio_fusion_tpu.core.backend import pose_only_refine_np
+                sel = self.feat_valid
+                pw = np.stack([self.map.lm_world[i]
+                               for i in self.feat_lm[sel]])
+                pose = pose_only_refine_np(
+                    pose, pw, self.feat_px[sel], np.ones(len(pw), bool),
+                    self.cam_left, iters=1,
+                    weight=self.cfg.visual_weight)
         kf_idx = self.map.add_keyframe(
             time, pose, vel=self.cur_vel, bias=self.cur_bias,
             weights=np.array(
@@ -1541,6 +1597,14 @@ class Estimator:
         # keep the other subsystems consistent with the rotated map:
         align_np = np.concatenate([np.asarray(align),
                                    np.zeros(3)]).astype(np.float32)
+        self._on_gravity_aligned(align_np)
+        return 1
+
+    def _on_gravity_aligned(self, align_np):
+        """Propagate a whole-map gravity rotation into every subsystem
+        that caches world-frame state (Map::ApplyGravityRotation
+        consumers). Split out so the cross-subsystem consistency is unit-
+        testable independent of the VI-init solve."""
         if self.navsat is not None and self.navsat.initialized:
             # ENU->map extrinsic must follow the map rotation
             from lvio_fusion_tpu.utils import np_se3
@@ -1550,13 +1614,13 @@ class Estimator:
             # the world is gravity-aligned (z up) from here on: switch the
             # DoF split and re-render stale world clouds
             self.lidar_mapping.set_up_axis("z")
-        if self.relocator is not None:
-            # loop detection's horizontal plane + the lidar DoF split both
-            # follow the gravity alignment
-            self.relocator.set_up_axis("z")
             for i in list(self.lidar_mapping.world_ground):
-                self.lidar_mapping.to_world(m, i)
-        return 1
+                self.lidar_mapping.to_world(self.map, i)
+        if self.relocator is not None:
+            # loop detection's horizontal plane follows the gravity
+            # alignment (lidar DoF split handled above; relocator may run
+            # without lidar, in which case there is no mapping to touch)
+            self.relocator.set_up_axis("z")
 
     def _covisibility_reassociate(self, kf_idx, det_px, det_valid, desc,
                                   desc_ok, pose):

@@ -140,7 +140,8 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                   levels: int = 4, win: int = 15, max_depth: float = 150.0,
                   min_depth: float = 0.5, cell: int = 30,
                   occupy_radius: int = 15, lk_iters: int = 6,
-                  remove_moving: bool = True, moving_px: float = 30.0):
+                  remove_moving: bool = True, moving_px: float = 30.0,
+                  equalize: bool = False):
     """Build the jitted frontend stage functions for a fixed image size.
 
     The per-frame path (pyramid build + LK + pose refine) is ONE jitted
@@ -152,6 +153,11 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     pad_mult = 2 ** (levels - 1)
 
     def _pyramid(img):
+        if equalize:
+            # reference lvio_fusion_node.cpp:94 — every incoming frame is
+            # histogram-equalized before tracking (low-contrast imagery)
+            from lvio_fusion_tpu.ops.image import equalize_hist
+            img = equalize_hist(img)
         img = pad_to_multiple(img.astype(jnp.float32) * (1.0 / 255.0),
                               pad_mult)
         return build_pyramid(img, levels)

@@ -67,6 +67,9 @@ class PoseGraph:
         self.min_bc = min_bc_distance
         self.cap = graph_cap
         self.sections: Dict[int, Section] = {}  # keyed by A kf index
+        # past loop submaps keyed by END kf index; Section(A=old kf,
+        # B=submap start kf, C=submap end kf) — pose_graph.cpp submaps_
+        self.submaps: Dict[int, Section] = {}
         self.current = Section()
         self.turning = True
         self._processed = 0
@@ -112,6 +115,35 @@ class PoseGraph:
         self.update_sections(m)
         return [s for a, s in sorted(self.sections.items())
                 if start_kf <= a <= end_kf]
+
+    def add_submap(self, old_kf: int, start_kf: int, end_kf: int):
+        """Record a corrected loop submap (AddSubMap,
+        pose_graph.cpp:8-16)."""
+        self.submaps[end_kf] = Section(A=old_kf, B=start_kf, C=end_kf)
+
+    def filter_old_submaps(self, m, start_kf: int, end_kf: int):
+        """Active sections in [start, end] minus those already rigidly
+        anchored by a PREVIOUS loop correction (FilterOldSubmaps,
+        pose_graph.cpp:24-50): a second loop pass over an already-corrected
+        stretch must not re-correct it.
+
+          * outer submap (its old anchor A <= start): everything up to the
+            submap's end is pinned by the older loop — drop those sections
+          * inner submap (A inside the range): drop sections covered by
+            (A, submap end]
+        """
+        active = {s.A: s for s in self.get_sections(m, start_kf, end_kf)}
+        for send in sorted(self.submaps):
+            if not (start_kf <= send <= end_kf):
+                continue
+            sm = self.submaps[send]
+            if sm.A <= start_kf:
+                for a in [a for a in active if a <= send]:
+                    del active[a]
+            else:
+                for a in [a for a in active if sm.A < a <= send]:
+                    del active[a]
+        return [active[a] for a in sorted(active)]
 
     def add_section(self, m, kf: int) -> bool:
         """Force a section boundary (AddSection, pose_graph.cpp:148-162)."""

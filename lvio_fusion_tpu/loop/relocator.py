@@ -14,8 +14,9 @@ Functional equivalent of the reference Relocator (relocator.cpp):
     section and the submap, and forward-update everything after.
 
 Runs on the deterministic keyframe schedule instead of a 100 ms thread.
-The reference's visual (ORB descriptor) relocation mode is not yet
-implemented — lidar mode only (relocator_mode lidar=2).
+Both reference relocation modes are implemented: lidar scan-to-map
+scoring (mode bit 2) and visual BRIEF-descriptor matching
+(`relocate_visual`, mode bit 1; relocator.cpp RelocateByImage).
 """
 
 from __future__ import annotations
@@ -236,9 +237,13 @@ class Relocator:
         for i in range(start_idx, end_idx + 1):
             m.kf_loop[i] = (old_idx, np_se3.se3_mul(inv_old, m.kf_pose[i]))
 
-        # pose-graph solve over sections strictly between old and submap
-        sections = pose_graph.get_sections(m, old_idx + 1,
-                                           max(start_idx - 1, old_idx + 1))
+        # pose-graph solve over sections strictly between old and submap,
+        # minus stretches already corrected by previous loops
+        # (FilterOldSubmaps, pose_graph.cpp:24-50); record this submap so
+        # future passes skip it too (AddSubMap, relocator.cpp:211-212)
+        sections = pose_graph.filter_old_submaps(
+            m, old_idx + 1, max(start_idx - 1, old_idx + 1))
+        pose_graph.add_submap(old_idx, start_idx, end_idx)
         pose_graph.optimize(m, sections, fixed_old_kf=old_idx,
                             fixed_start_kf=start_idx, meas_poses=snapshot)
 

@@ -93,6 +93,63 @@ class Navsat:
             return None
         return np_se3.se3_apply(self.extrinsic, f)
 
+    def point_at(self, time: float) -> Optional[np.ndarray]:
+        """Interpolated map-frame GPS point at an arbitrary time
+        (GetAroundPoint, navsat.cpp:63-71, with interpolation instead of
+        nearest-neighbor)."""
+        from lvio_fusion_tpu.utils import np_se3
+        if len(self.raw_t) < 2:
+            return None
+        t = np.asarray(self.raw_t)
+        if time < t[0] - 1.0 or time > t[-1] + 1.0:
+            return None
+        j = int(np.clip(np.searchsorted(t, time), 1, len(t) - 1))
+        P = np.stack(self.raw_p)
+        a = (time - t[j - 1]) / max(t[j] - t[j - 1], 1e-9)
+        a = float(np.clip(a, 0.0, 1.0))
+        raw = (1 - a) * P[j - 1] + a * P[j]
+        return np_se3.se3_apply(self.extrinsic, raw)
+
+    def speed(self, t_to: float, t_from: float) -> float:
+        """GPS-derived ground speed between two instants (the frontend's
+        navsat_v seeding, frontend.cpp:49-65: ||fix(t2) - fix(t1)|| / dt —
+        rotation-invariant, so the initialized/uninitialized branches of
+        the reference collapse to one). Returns 0 when unavailable."""
+        if t_to - t_from < 1e-6:
+            return 0.0
+        p2 = self.point_at(t_to)
+        p1 = self.point_at(t_from)
+        if p1 is None or p2 is None:
+            return 0.0
+        return float(np.linalg.norm(p2 - p1) / (t_to - t_from))
+
+    def estimate_pose(self, time: float) -> Optional[np.ndarray]:
+        """Pose (heading from GPS track) at ``time``: walk raw points back
+        until the chord exceeds trust_distance_yaw, then build an SE3 from
+        the two points (Navsat::EstimatePose, navsat.cpp:75-98 +
+        get_pose_from_two_points, utility.cpp:42-53). The reference's only
+        call site is commented out (navsat.cpp:180); kept for API parity.
+        """
+        from lvio_fusion_tpu.geometry.so3 import rpy_to_quat
+        from lvio_fusion_tpu.utils import np_se3
+        if len(self.raw_t) < 2:
+            return None
+        t = np.asarray(self.raw_t)
+        j = int(np.clip(np.searchsorted(t, time), 1, len(t) - 1))
+        P = np.stack(self.raw_p)
+        b = np_se3.se3_apply(self.extrinsic, P[j])
+        for i in range(j - 1, -1, -1):
+            a = np_se3.se3_apply(self.extrinsic, P[i])
+            if np.linalg.norm(a - b) > self.trust_yaw:
+                d = (b - a).astype(np.float64)
+                rpy = np.array([np.arctan2(d[1], d[0]),
+                                -np.arctan2(d[2], np.linalg.norm(d[:2])),
+                                0.0])
+                import jax.numpy as jnp
+                q = np.asarray(rpy_to_quat(jnp.asarray(rpy)))
+                return np.concatenate([q, b]).astype(np.float32)
+        return None
+
     # ---------------- initialization ----------------
 
     INIT_CAP = 256

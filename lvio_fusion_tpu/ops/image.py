@@ -184,6 +184,27 @@ def undistort_image(img, umap):
     return bilinear_sample(img, umap)
 
 
+def equalize_hist(img_u8):
+    """Global histogram equalization of a uint8 image (the reference
+    equalizes every incoming frame before tracking,
+    lvio_fusion_node.cpp:94 cv::equalizeHist). Fixed-shape: one 256-bin
+    scatter-add + cumsum + LUT gather, fused into whichever jitted frame
+    program calls it — no extra dispatch.
+
+    lut[v] = round(255 * (cdf[v] - cdf_min) / (N - cdf_min)), cdf_min the
+    cdf at the darkest occupied bin (OpenCV semantics: darkest pixel
+    maps to 0, full dynamic range restored on low-contrast imagery)."""
+    flat = img_u8.reshape(-1)
+    n = flat.shape[0]
+    hist = jnp.zeros(256, jnp.int32).at[flat.astype(jnp.int32)].add(1)
+    cdf = jnp.cumsum(hist)
+    cdf_min = jnp.min(jnp.where(hist > 0, cdf, n))
+    denom = jnp.maximum(n - cdf_min, 1).astype(jnp.float32)
+    lut = jnp.clip(jnp.round(
+        (cdf - cdf_min).astype(jnp.float32) * (255.0 / denom)), 0, 255)
+    return lut.astype(jnp.uint8)[img_u8.astype(jnp.int32)]
+
+
 def pad_to_multiple(img, mult: int):
     """Pad H, W up to a multiple (edge mode) so pyramids divide evenly."""
     H, W = img.shape

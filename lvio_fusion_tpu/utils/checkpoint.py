@@ -37,6 +37,16 @@ def save_estimator(est, path: str) -> None:
     if getattr(est, "_pending_flush", None) is not None \
             or getattr(est, "_pipe", None) is not None:
         est._drain_pipe()
+    if getattr(est, "_fbuf", None):
+        # batched/pipelined modes buffer up to frame_batch-1 frames; push
+        # them through the per-frame path (as finalize does) so the
+        # resumed run has no tracking gap
+        leftover, est._fbuf = est._fbuf, []
+        for t, left_u8, right_u8 in leftover:
+            if est.status == est.BUILDING:
+                est._build_frame(t, left_u8, right_u8)
+            else:
+                est._track_single(t, left_u8, right_u8)
     est._finish_pending_ba()
     state = {
         # frontend / tracker
@@ -73,6 +83,7 @@ def save_estimator(est, path: str) -> None:
         "_navsat_sections_done": est._navsat_sections_done,
         "pose_graph": {
             "sections": est.pose_graph.sections,
+            "submaps": est.pose_graph.submaps,
             "current": est.pose_graph.current,
             "turning": est.pose_graph.turning,
             "_processed": est.pose_graph._processed,
@@ -95,6 +106,7 @@ def save_estimator(est, path: str) -> None:
         }
     if est.relocator is not None:
         state["relocator_pending"] = dict(est.relocator._pending)
+        state["relocator_up_axis"] = est.relocator.up_axis
 
     blob = {
         "version": VERSION,
@@ -147,6 +159,7 @@ def load_estimator(est, path: str) -> None:
     est._navsat_sections_done = s["_navsat_sections_done"]
     pg = s["pose_graph"]
     est.pose_graph.sections = pg["sections"]
+    est.pose_graph.submaps = pg.get("submaps", {})
     est.pose_graph.current = pg["current"]
     est.pose_graph.turning = pg["turning"]
     est.pose_graph._processed = pg["_processed"]
@@ -165,6 +178,11 @@ def load_estimator(est, path: str) -> None:
         est.navsat._kf_done = nv["_kf_done"]
     if est.relocator is not None and "relocator_pending" in s:
         est.relocator._pending = s["relocator_pending"]
+    if est.relocator is not None and "relocator_up_axis" in s:
+        # a run checkpointed after gravity alignment measures loop
+        # proximity in the z-up plane; restore that, and the matching
+        # scan-to-map DoF split, on resume
+        est.relocator.set_up_axis(s["relocator_up_axis"])
     # the device-resident tracking chain is stale: restore the saved
     # pyramid and let _sync_device_state re-seed everything else from the
     # map on the next frame

@@ -38,6 +38,42 @@ def _norm(q):
     return q if q[0] >= 0 else -q
 
 
+def quat_from_mat(R):
+    """Rotation matrix -> quaternion (wxyz), Shepperd's method: pick the
+    largest of the four diagonal branches so the conversion stays
+    numerically sound near 180-degree rotations (where the naive w-major
+    formula divides by w ~ 0)."""
+    R = np.asarray(R, np.float64)
+    tr = np.trace(R)
+    cand = np.array([tr, R[0, 0], R[1, 1], R[2, 2]])
+    k = int(np.argmax(cand))
+    if k == 0:
+        s = np.sqrt(max(tr + 1.0, 1e-18)) * 2.0
+        q = np.array([0.25 * s,
+                      (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s,
+                      (R[1, 0] - R[0, 1]) / s])
+    elif k == 1:
+        s = np.sqrt(max(1.0 + R[0, 0] - R[1, 1] - R[2, 2], 1e-18)) * 2.0
+        q = np.array([(R[2, 1] - R[1, 2]) / s,
+                      0.25 * s,
+                      (R[0, 1] + R[1, 0]) / s,
+                      (R[0, 2] + R[2, 0]) / s])
+    elif k == 2:
+        s = np.sqrt(max(1.0 + R[1, 1] - R[0, 0] - R[2, 2], 1e-18)) * 2.0
+        q = np.array([(R[0, 2] - R[2, 0]) / s,
+                      (R[0, 1] + R[1, 0]) / s,
+                      0.25 * s,
+                      (R[1, 2] + R[2, 1]) / s])
+    else:
+        s = np.sqrt(max(1.0 + R[2, 2] - R[0, 0] - R[1, 1], 1e-18)) * 2.0
+        q = np.array([(R[1, 0] - R[0, 1]) / s,
+                      (R[0, 2] + R[2, 0]) / s,
+                      (R[1, 2] + R[2, 1]) / s,
+                      0.25 * s])
+    return _norm(q)
+
+
 def se3_mul(T1, T2):
     q1, t1 = np.asarray(T1[:4], np.float64), np.asarray(T1[4:], np.float64)
     q2, t2 = np.asarray(T2[:4], np.float64), np.asarray(T2[4:], np.float64)
@@ -68,6 +104,31 @@ def se3_twist(T, dt):
     phi = (q[1:] / s * ang) if s > 1e-9 else np.zeros(3)
     xi = np.concatenate([phi, np.asarray(T[4:], np.float64)])
     return (xi / max(float(dt), 1e-6)).astype(np.float32)
+
+
+def se3_exp(xi):
+    """Twist [phi, rho] -> SE3 (mirrors geometry/se3.se3_exp, exact V)."""
+    xi = np.asarray(xi, np.float64)
+    phi, rho = xi[:3], xi[3:]
+    theta2 = float(phi @ phi)
+    theta = np.sqrt(theta2)
+    if theta2 < 1e-12:
+        q = _norm(np.concatenate([[1.0], 0.5 * phi]))
+        a, b = 0.5 - theta2 / 24.0, 1.0 / 6.0 - theta2 / 120.0
+    else:
+        half = 0.5 * theta
+        q = _norm(np.concatenate([[np.cos(half)],
+                                  np.sin(half) / theta * phi]))
+        a = (1.0 - np.cos(theta)) / theta2
+        b = (theta - np.sin(theta)) / (theta2 * theta)
+    px = np.cross(phi, rho)
+    t = rho + a * px + b * np.cross(phi, px)
+    return np.concatenate([q, t]).astype(np.float32)
+
+
+def se3_boxplus(T, xi):
+    """Left-multiplicative retraction exp(xi) * T (the solver's chart)."""
+    return se3_mul(se3_exp(xi), T)
 
 
 def se3_apply_batch(T, pts):

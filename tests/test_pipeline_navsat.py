@@ -16,7 +16,8 @@ def test_navsat_pipeline():
         num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
         window_kfs=5, landmark_slots=256, obs_slots=1024, po_slots=512,
         ba_iters=4, cell=24, occupy_radius=10,
-        use_navsat=True, max_keyframe_interval=0.25, global_every_kfs=3)
+        use_navsat=True, max_keyframe_interval=0.25, global_every_kfs=3,
+        navsat_v=True)  # GPS-speed prediction seeding (frontend.cpp:104-106)
     est = Estimator(seq.cam_left, seq.cam_right, cfg)
     # navsat trust gates assume vehicle scales; relax for the short sim
     est.navsat.trust_yaw = 2.0
@@ -38,6 +39,10 @@ def test_navsat_pipeline():
 
     assert est.navsat.initialized, "navsat never initialized"
     assert len(est.navsat.kf_fix) >= est.map.num_kfs - 2
+    # navsat_v: GPS-derived speed must reflect the simulated velocity
+    t_mid = seq.frames[len(seq.frames) // 2].time
+    v = est.navsat.speed(t_mid, t_mid - 0.4)
+    assert abs(v - 2.2) < 0.5, f"GPS speed {v} vs simulated 2.2 m/s"
 
     times, poses = est.trajectory()
     idx = np.searchsorted(seq.gt_times, times)
