@@ -48,9 +48,9 @@ def main():
     for fr in seq.frames[:warm]:
         est.input_image(fr.time, fr.left, fr.right)
 
-    if os.environ.get("BENCH_STATS"):
-        from lvio_fusion_tpu.utils.profiling import TIMERS
-        TIMERS.reset()  # report steady state, not warmup compiles
+    from lvio_fusion_tpu.utils.profiling import TIMERS
+    TIMERS.reset()  # report steady state, not warmup compiles
+    kfs_warm = est.map.num_kfs
 
     # timed steady-state run; throughput = MEDIAN over 2-batch chunks
     # (the tunnel's round-trip latency fluctuates ±15% across minutes —
@@ -65,10 +65,20 @@ def main():
     rates = [chunk / (b - a) for a, b in zip(marks, marks[1:])]
     fps = float(np.median(rates)) if rates else 0.0
     target_fps = 20.0  # 2x real-time at 10 Hz
+
+    # auditable stage breakdown in the SAME json line: per-frame cost of
+    # each pipeline stage over the steady-state frames, so the perf
+    # ceiling (tunnel RTT vs device compute) is recorded with every run
+    n_timed = len(seq.frames) - warm
+    snap = TIMERS.snapshot()
+    stats = {name: round(s["total_s"] * 1000.0 / max(n_timed, 1), 2)
+             for name, s in snap.items()}  # ms per FRAME, not per call
+    stats["kf_per_frame"] = round(
+        (est.map.num_kfs - kfs_warm) / max(n_timed, 1), 3)
     if os.environ.get("BENCH_STATS"):
         import sys
 
-        from lvio_fusion_tpu.utils.profiling import COUNTERS, TIMERS
+        from lvio_fusion_tpu.utils.profiling import COUNTERS
         print(TIMERS.report(), file=sys.stderr)
         print(f"kfs={est.map.num_kfs} counters={dict(COUNTERS)}",
               file=sys.stderr)
@@ -77,6 +87,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / target_fps, 4),
+        "stats_ms_per_frame": stats,
     }))
 
 

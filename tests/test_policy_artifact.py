@@ -78,25 +78,37 @@ def test_shipped_policy_loads_and_beats_default_weights():
             steps += 1
         return total / steps
 
-    # average over SEVERAL held-out drift realizations: a single
+    # average over >= 10 held-out drift realizations: a single
     # realization's default-vs-policy gap is dominated by how hard that
-    # particular drift walk happens to be
+    # particular drift walk happens to be, and a 3-walk mean can flip
+    # sign run to run — the artifact is gated on the multi-realization
+    # mean, with the spread reported alongside
     r_policy, r_default = [], []
-    for ds in (9, 11, 13):
+    for ds in (9, 11, 13, 17, 19, 23, 29, 31, 37, 41):
         tables = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
                                  est.cam_right, height=240, width=360,
                                  lidar_mapping=est.lidar_mapping,
                                  drift=0.05, drift_seed=ds)
         env = VectorEnv(tables, est.cam_left, num_envs=8, horizon=8)
-        r_policy += [rollout(env, lambda o: agent.act(agent.state.actor, o),
-                             s) for s in (0, 1)]
-        r_default += [rollout(env, lambda o: jnp.broadcast_to(
-            a_def, (env.B, 3)), s) for s in (0, 1)]
-    r_policy, r_default = np.mean(r_policy), np.mean(r_default)
-    print(f"held-out policy reward {r_policy:.3f} vs default "
-          f"{r_default:.3f}")
-    assert r_policy >= 0.9 * r_default, \
+        r_policy.append(rollout(
+            env, lambda o: agent.act(agent.state.actor, o), ds))
+        r_default.append(rollout(
+            env, lambda o: jnp.broadcast_to(a_def, (env.B, 3)), ds))
+    r_policy, r_default = np.asarray(r_policy), np.asarray(r_default)
+    diff = r_policy - r_default
+    print(f"held-out policy reward {r_policy.mean():.3f}±"
+          f"{r_policy.std():.3f} vs default {r_default.mean():.3f}±"
+          f"{r_default.std():.3f} over {len(diff)} realizations "
+          f"(policy wins {int((diff > 0).sum())}/{len(diff)})")
+    assert r_policy.mean() >= 0.9 * r_default.mean(), \
         f"trained policy underperforms defaults: {r_policy} < {r_default}"
+    # and the verdict must be robust to the spread: the policy may not be
+    # SIGNIFICANTLY worse than the defaults (mean gap within 2 standard
+    # errors of zero or better)
+    sem = diff.std(ddof=1) / np.sqrt(len(diff))
+    assert diff.mean() >= -2.0 * sem, (
+        f"policy significantly worse: gap {diff.mean():.3f} "
+        f"± sem {sem:.3f} over {len(diff)} realizations")
 
 
 @pytest.mark.skipif(not os.path.exists(ART),
