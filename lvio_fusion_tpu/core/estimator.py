@@ -518,6 +518,9 @@ class Estimator:
             self._lidar_done = self.map.num_kfs
         if self.cfg.use_navsat or self.cfg.use_loop:
             self._run_global_stage()
+        if self.relocator is not None:
+            # an open loop-detection run ends with the stream
+            self.relocator.flush(self.map, self.pose_graph)
 
     def input_imu(self, time: float, acc, gyr):
         """Buffer one IMU sample (Estimator::InputImu)."""

@@ -104,7 +104,18 @@ def _render(px, valid, H, W, brightness, sigma=1.3, rad=4):
 def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
                   speed=1.2, yaw_rate=0.02, seed=0, with_imu=False,
                   imu_rate=200.0, g_norm=9.81007, with_lidar=False,
-                  lidar_rows=16, lidar_cols=360, ground_y=1.8) -> Sequence:
+                  lidar_rows=16, lidar_cols=360, ground_y=1.8,
+                  closed_loop=False, loop_turns=1.0, exposure_drift=0.0,
+                  pixel_noise=0.0, num_occluders=0) -> Sequence:
+    """``closed_loop=True`` sets yaw_rate so the constant-twist trajectory
+    traces ``loop_turns`` revolutions of a circle (revisiting covered
+    ground — loop-closure testable; use >1 turn so revisits happen while
+    the stream is still running); the landmark/lidar layout follows the
+    ring. Hostile-imaging knobs
+    (all off by default): ``exposure_drift`` — sinusoidal per-frame gain in
+    [1-d, 1+d]; ``pixel_noise`` — additive Gaussian image noise (in [0,1]
+    units); ``num_occluders`` — moving dark rectangles pasted per frame.
+    """
     rng = np.random.default_rng(seed)
     fx = fy = 0.9 * W
     cx, cy = W / 2.0, H / 2.0
@@ -114,8 +125,13 @@ def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
         fx, fy, cx, cy,
         se3_make(jnp.array([1.0, 0, 0, 0]), jnp.array([baseline, 0.0, 0.0])))
 
-    # trajectory: forward z, slight arc + bob
+    # trajectory: forward z, slight arc + bob; closed_loop drives a full
+    # circle back to the start (constant twist => all IMU/lidar closed
+    # forms below remain exact)
     dt = 1.0 / fps
+    if closed_loop:
+        yaw_rate = (2.0 * np.pi * loop_turns / (num_frames * dt)
+                    * (1.0 + 2.0 / num_frames))
     poses = [se3_identity()]
     for _ in range(num_frames - 1):
         step = se3_exp(jnp.asarray(
@@ -125,13 +141,29 @@ def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
     poses = jnp.stack(poses)
     times = np.arange(num_frames) * dt
 
-    # landmark field distributed along the corridor
+    # landmark field distributed along the path
     total_len = speed * num_frames * dt
-    pw = np.stack([
-        rng.uniform(-8, 8 + baseline, num_points),
-        rng.uniform(-5, 5, num_points),
-        rng.uniform(2.0, total_len + 25.0, num_points),
-    ], axis=1).astype(np.float32)
+    if closed_loop:
+        # landmarks sampled in the forward frustums of the ACTUAL
+        # trajectory poses (same guarantee the straight corridor field
+        # gives: every frame has trackable points ahead of it)
+        posesd = np.asarray(poses)
+        anchors = rng.integers(0, num_frames, num_points)
+        local = np.stack([
+            rng.uniform(-8, 8 + baseline, num_points),
+            rng.uniform(-5, 5, num_points),
+            rng.uniform(3.0, 22.0, num_points),  # ahead along the tangent
+        ], axis=1).astype(np.float32)
+        pw = np.stack([
+            np.asarray(se3_apply(jnp.asarray(posesd[a]),
+                                 jnp.asarray(local[k])))
+            for k, a in enumerate(anchors)]).astype(np.float32)
+    else:
+        pw = np.stack([
+            rng.uniform(-8, 8 + baseline, num_points),
+            rng.uniform(-5, 5, num_points),
+            rng.uniform(2.0, total_len + 25.0, num_points),
+        ], axis=1).astype(np.float32)
     brightness = rng.uniform(0.6, 1.0, num_points).astype(np.float32)
 
     pwj = jnp.asarray(pw)
@@ -146,11 +178,34 @@ def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
             return _render(px, valid, H, W, bj)
         return one(cam_left), one(cam_right)
 
+    def hostile(img, i):
+        """Exposure drift + sensor noise + moving occluders (in-place on
+        the [0,1]-float render)."""
+        if exposure_drift:
+            gain = 1.0 + exposure_drift * np.sin(
+                2 * np.pi * i / max(num_frames / 3.0, 1.0))
+            img = img * gain
+        if num_occluders:
+            occ_rng = np.random.default_rng(seed * 7919 + i)
+            for _ in range(num_occluders):
+                h = occ_rng.integers(H // 10, H // 4)
+                w = occ_rng.integers(W // 10, W // 4)
+                y0 = occ_rng.integers(0, H - h)
+                x0 = occ_rng.integers(0, W - w)
+                img[y0:y0 + h, x0:x0 + w] = float(occ_rng.uniform(0, 0.15))
+        if pixel_noise:
+            noise_rng = np.random.default_rng(seed * 104729 + i)
+            img = img + noise_rng.normal(0, pixel_noise, img.shape)
+        return np.clip(img, 0.0, 1.5).astype(np.float32)
+
+    corrupt = exposure_drift or pixel_noise or num_occluders
     frames = []
     for i in range(num_frames):
         l, r = render_pair(poses[i])
-        frames.append(StereoFrame(float(times[i]), np.asarray(l),
-                                  np.asarray(r)))
+        l, r = np.asarray(l), np.asarray(r)
+        if corrupt:
+            l, r = hostile(l.copy(), i), hostile(r.copy(), i)
+        frames.append(StereoFrame(float(times[i]), l, r))
 
     imu_times = imu_acc = imu_gyr = None
     if with_imu:
@@ -208,10 +263,20 @@ def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
         # boxes along the corridor the rig drives through
         total_len = speed * num_frames * dt
         boxes = []
-        zs = np.arange(4.0, total_len + 20.0, 6.0)
-        for i, bz in enumerate(zs):
-            bx = 5.0 if i % 2 == 0 else -5.0
-            boxes.append((bx, bz, 1.2, 2.5))
+        if closed_loop:
+            # boxes on both sides of the circular path
+            pos = np.asarray(poses)[:, 4:]
+            center = pos.mean(0)
+            r = float(np.linalg.norm(pos - center, axis=1).mean())
+            for k, th in enumerate(np.arange(0.0, 2 * np.pi, 0.5)):
+                rad = r + (5.0 if k % 2 == 0 else -5.0)
+                boxes.append((center[0] + rad * np.cos(th),
+                              center[2] + rad * np.sin(th), 1.2, 2.5))
+        else:
+            zs = np.arange(4.0, total_len + 20.0, 6.0)
+            for i, bz in enumerate(zs):
+                bx = 5.0 if i % 2 == 0 else -5.0
+                boxes.append((bx, bz, 1.2, 2.5))
 
         # lidar ray table in lidar frame (x fwd, z up)
         rows = np.arange(lidar_rows)

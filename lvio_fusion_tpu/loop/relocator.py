@@ -208,6 +208,22 @@ class Relocator:
             return corrected
         return False
 
+    def flush(self, m, pose_graph) -> bool:
+        """End-of-stream: an open detection run can never be closed by a
+        later non-detecting keyframe (the reference's DetectorLoop only
+        corrects when detection STOPS, relocator.cpp:23-85 — on a
+        trajectory that keeps overlapping old ground, e.g. a full circle,
+        the run stays open forever). Treat stream end as the run ending
+        and apply the pending correction."""
+        if not self._pending:
+            return False
+        new_kfs = sorted(self._pending)
+        old_idx = min(self._pending.values())
+        corrected = self.correct_loop(
+            m, pose_graph, old_idx, new_kfs[0], new_kfs[-1])
+        self._pending.clear()
+        return corrected
+
     def correct_loop(self, m, pose_graph, old_idx: int, start_idx: int,
                      end_idx: int) -> bool:
         # snapshot for pose-graph measurements (pre-correction)
