@@ -15,6 +15,8 @@ import numpy as np
 
 
 def main():
+    from lvio_fusion_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from lvio_fusion_tpu.core.estimator import Estimator, EstimatorConfig
     from lvio_fusion_tpu.datasets.synthetic import make_sequence
 

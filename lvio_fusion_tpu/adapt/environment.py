@@ -23,6 +23,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
+from lvio_fusion_tpu.utils.memo import builder_memo
 
 from lvio_fusion_tpu.adapt.observation import (
     OBS_DIM, action_to_weights, observation_grid,
@@ -160,6 +161,49 @@ def _reward(result, gt, base):
         jnp.linalg.norm(ratio), 1e-2))
 
 
+
+@builder_memo
+def _make_env_fns(cam, num_envs: int, horizon: int, up_axis: str,
+                  resolution: float, weight_reg: float):
+    """Jitted (reset, step) for VectorEnv, taking the EnvTables as an
+    argument so all envs with same-shaped tables share one trace."""
+    from lvio_fusion_tpu.adapt.observation import default_weights
+    log_def = jnp.log10(default_weights(float(cam.fx)))
+
+    @jax.jit
+    def reset(tables, key):
+        K = tables.poses_gt.shape[0]
+        k1, key = jax.random.split(key)
+        start = jax.random.randint(k1, (num_envs,), 1,
+                                   max(2, K - horizon - 1))
+        state = EnvState(kf=start.astype(jnp.int32),
+                         t=jnp.zeros(num_envs, jnp.int32), key=key)
+        obs = tables.obs_grid[state.kf]
+        return state, obs
+
+    @jax.jit
+    def step(tables, state: EnvState, actions):
+        K = tables.poses_gt.shape[0]
+        weights = jax.vmap(action_to_weights)(actions)
+
+        def one(kf, w):
+            result = _solve_one(tables, kf, w, cam, up_axis, resolution)
+            r = _reward(result, tables.poses_gt[kf],
+                        tables.poses_prev[kf])
+            reg = jnp.sum((jnp.log10(jnp.maximum(w, 1e-6))
+                           - log_def) ** 2)
+            return r - weight_reg * reg
+
+        reward = jax.vmap(one)(state.kf, weights)
+        kf = jnp.minimum(state.kf + 1, K - 1)
+        t = state.t + 1
+        done = (t >= horizon) | (kf >= K - 1)
+        obs = tables.obs_grid[kf]
+        return EnvState(kf, t, state.key), obs, reward, done
+
+    return reset, step
+
+
 class VectorEnv:
     """Batched env over B instances; all device-side."""
 
@@ -175,41 +219,13 @@ class VectorEnv:
         self.tables = tables
         self.B = num_envs
         self.horizon = horizon
-        K = int(tables.poses_gt.shape[0])
-        from lvio_fusion_tpu.adapt.observation import default_weights
-        log_def = jnp.log10(default_weights(float(cam.fx)))
-
-        @jax.jit
-        def reset(key):
-            k1, key = jax.random.split(key)
-            start = jax.random.randint(k1, (num_envs,), 1,
-                                       max(2, K - horizon - 1))
-            state = EnvState(kf=start.astype(jnp.int32),
-                             t=jnp.zeros(num_envs, jnp.int32), key=key)
-            obs = tables.obs_grid[state.kf]
-            return state, obs
-
-        @jax.jit
-        def step(state: EnvState, actions):
-            weights = jax.vmap(action_to_weights)(actions)
-
-            def one(kf, w):
-                result = _solve_one(tables, kf, w, cam, up_axis, resolution)
-                r = _reward(result, tables.poses_gt[kf],
-                            tables.poses_prev[kf])
-                reg = jnp.sum((jnp.log10(jnp.maximum(w, 1e-6))
-                               - log_def) ** 2)
-                return r - weight_reg * reg
-
-            reward = jax.vmap(one)(state.kf, weights)
-            kf = jnp.minimum(state.kf + 1, K - 1)
-            t = state.t + 1
-            done = (t >= horizon) | (kf >= K - 1)
-            obs = tables.obs_grid[kf]
-            return EnvState(kf, t, state.key), obs, reward, done
-
-        self.reset = reset
-        self.step = step
+        reset, step = _make_env_fns(cam, num_envs, horizon, up_axis,
+                                    resolution, weight_reg)
+        # tables ride as a jit ARGUMENT (pytree of device arrays): env
+        # instances over different drift realizations / train-eval splits
+        # of the same map share one traced program (utils/memo.py)
+        self.reset = lambda key: reset(tables, key)
+        self.step = lambda state, actions: step(tables, state, actions)
 
 
 def tables_from_map(m, gt_times, gt_poses, cam_right, caps=None,

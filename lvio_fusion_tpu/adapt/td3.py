@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from lvio_fusion_tpu.utils.memo import builder_memo
+
 from lvio_fusion_tpu.adapt.observation import OBS_DIM
 
 ACT_DIM = 3  # visual, lidar_ground, lidar_surf (adapt/weights.h)
@@ -115,6 +117,83 @@ def replay_add(r: Replay, obs, act, rew, nobs, done):
         size=jnp.minimum(r.size + B, cap))
 
 
+
+@builder_memo
+def _make_td3_fns(actor_def, critic_def, gamma, tau, policy_noise,
+                  noise_clip, policy_delay, actor_delay, anchor_weight,
+                  anchor, actor_lr, critic_lr):
+    """Jitted (act, update) shared across TD3 instances with identical
+    hyperparameters (per-instance jit wrappers re-trace; utils/memo.py).
+    The flax Module defs hash by their config, the anchor by value."""
+    opt_a = optax.adam(actor_lr)
+    opt_c = optax.adam(critic_lr)
+
+    act = jax.jit(lambda p, o: actor_def.apply(p, o))
+
+    @jax.jit
+    def update(state: TD3State, batch, key):
+        obs, act_b, rew, nobs, done = batch
+
+        # --- critic update ---
+        noise = jnp.clip(
+            policy_noise * jax.random.normal(key, act_b.shape),
+            -noise_clip, noise_clip)
+        next_a = jnp.clip(
+            actor_def.apply(state.actor_target, nobs) + noise,
+            -1.0, 1.0)
+        q1t = critic_def.apply(state.critic1_target, nobs, next_a)
+        q2t = critic_def.apply(state.critic2_target, nobs, next_a)
+        target = rew + gamma * (1.0 - done.astype(jnp.float32)) \
+            * jnp.minimum(q1t, q2t)
+        target = jax.lax.stop_gradient(target)
+
+        def critic_loss(params):
+            p1, p2 = params
+            q1 = critic_def.apply(p1, obs, act_b)
+            q2 = critic_def.apply(p2, obs, act_b)
+            return jnp.mean((q1 - target) ** 2) + jnp.mean((q2 - target) ** 2)
+
+        closs, grads = jax.value_and_grad(critic_loss)(
+            (state.critic1, state.critic2))
+        updates, opt_c_state = opt_c.update(grads, state.opt_critic,
+                                            (state.critic1, state.critic2))
+        critic1, critic2 = optax.apply_updates(
+            (state.critic1, state.critic2), updates)
+
+        # --- delayed actor update ---
+        def actor_loss(pa):
+            a = actor_def.apply(pa, obs)
+            q = jnp.mean(critic_def.apply(critic1, obs, a))
+            bc = jnp.mean(jnp.sum((a - anchor) ** 2, -1))
+            return -q + anchor_weight * bc
+
+        do_actor = ((state.step % policy_delay) == 0) \
+            & (state.step >= actor_delay)
+        aloss, agrads = jax.value_and_grad(actor_loss)(state.actor)
+        agrads = jax.tree.map(
+            lambda g: jnp.where(do_actor, g, jnp.zeros_like(g)), agrads)
+        aupd, opt_a_state = opt_a.update(agrads, state.opt_actor,
+                                         state.actor)
+        actor = optax.apply_updates(state.actor, aupd)
+
+        # --- soft target updates ---
+        def soft(t, s):
+            return jax.tree.map(
+                lambda a, b: (1 - tau) * a + tau * b, t, s)
+
+        new = TD3State(
+            actor=actor,
+            actor_target=soft(state.actor_target, actor),
+            critic1=critic1, critic2=critic2,
+            critic1_target=soft(state.critic1_target, critic1),
+            critic2_target=soft(state.critic2_target, critic2),
+            opt_actor=opt_a_state, opt_critic=opt_c_state,
+            step=state.step + 1)
+        return new, closs, aloss
+
+    return act, update
+
+
 class TD3:
     def __init__(self, seed=0, actor_lr=3e-4, critic_lr=1e-3, gamma=0.99,
                  tau=0.005, policy_noise=0.2, noise_clip=0.5,
@@ -159,71 +238,15 @@ class TD3:
             opt_critic=self.opt_c.init((pc1, pc2)),
             step=jnp.zeros((), jnp.int32))
 
-        self.act = jax.jit(lambda p, o: self.actor_def.apply(p, o))
-        self._update = jax.jit(self._update_impl)
+        self.act, self._update = _make_td3_fns(
+            self.actor_def, self.critic_def, gamma, tau, policy_noise,
+            noise_clip, policy_delay, actor_delay, anchor_weight,
+            self._anchor, actor_lr, critic_lr)
 
     def explore(self, key, obs):
         a = self.act(self.state.actor, obs)
         noise = self.explore_noise * jax.random.normal(key, a.shape)
         return jnp.clip(a + noise, -1.0, 1.0)
-
-    def _update_impl(self, state: TD3State, batch, key):
-        obs, act, rew, nobs, done = batch
-
-        # --- critic update ---
-        noise = jnp.clip(
-            self.policy_noise * jax.random.normal(key, act.shape),
-            -self.noise_clip, self.noise_clip)
-        next_a = jnp.clip(
-            self.actor_def.apply(state.actor_target, nobs) + noise,
-            -1.0, 1.0)
-        q1t = self.critic_def.apply(state.critic1_target, nobs, next_a)
-        q2t = self.critic_def.apply(state.critic2_target, nobs, next_a)
-        target = rew + self.gamma * (1.0 - done.astype(jnp.float32)) \
-            * jnp.minimum(q1t, q2t)
-        target = jax.lax.stop_gradient(target)
-
-        def critic_loss(params):
-            p1, p2 = params
-            q1 = self.critic_def.apply(p1, obs, act)
-            q2 = self.critic_def.apply(p2, obs, act)
-            return jnp.mean((q1 - target) ** 2) + jnp.mean((q2 - target) ** 2)
-
-        closs, grads = jax.value_and_grad(critic_loss)(
-            (state.critic1, state.critic2))
-        updates, opt_c = self.opt_c.update(grads, state.opt_critic,
-                                           (state.critic1, state.critic2))
-        critic1, critic2 = optax.apply_updates(
-            (state.critic1, state.critic2), updates)
-
-        # --- delayed actor update ---
-        def actor_loss(pa):
-            a = self.actor_def.apply(pa, obs)
-            q = jnp.mean(self.critic_def.apply(critic1, obs, a))
-            bc = jnp.mean(jnp.sum((a - self._anchor) ** 2, -1))
-            return -q + self.anchor_weight * bc
-
-        do_actor = ((state.step % self.policy_delay) == 0) \
-            & (state.step >= self.actor_delay)
-        aloss, agrads = jax.value_and_grad(actor_loss)(state.actor)
-        agrads = jax.tree.map(
-            lambda g: jnp.where(do_actor, g, jnp.zeros_like(g)), agrads)
-        aupd, opt_a = self.opt_a.update(agrads, state.opt_actor, state.actor)
-        actor = optax.apply_updates(state.actor, aupd)
-
-        # --- soft target updates ---
-        def soft(t, s):
-            return jax.tree.map(
-                lambda a, b: (1 - self.tau) * a + self.tau * b, t, s)
-
-        new = TD3State(
-            actor=actor,
-            actor_target=soft(state.actor_target, actor),
-            critic1=critic1, critic2=critic2,
-            critic1_target=soft(state.critic1_target, critic1),
-            critic2_target=soft(state.critic2_target, critic2),
-            opt_actor=opt_a, opt_critic=opt_c, step=state.step + 1)
-        return new, closs, aloss
 
     def update(self, replay: Replay, key, batch_size=64):
         k1, k2 = jax.random.split(key)

@@ -309,6 +309,8 @@ def cmd_eval(args):
 
 
 def main(argv=None):
+    from lvio_fusion_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     # honor JAX_PLATFORMS even when a sitecustomize force-registered a
     # different backend via jax.config.update
     import os

@@ -223,14 +223,9 @@ class Estimator:
         self._kf_acc: list = []
         self._kf_gyr: list = []
         if c.use_imu:
-            from lvio_fusion_tpu.ops.imu_preint import preintegrate
-
-            @jax.jit
-            def _preint(acc, gyr, dt, ba, bg):
-                return preintegrate(acc, gyr, dt, ba, bg, c.acc_n, c.gyr_n,
-                                    c.acc_w, c.gyr_w)
-
-            self._preint = _preint
+            from lvio_fusion_tpu.ops.imu_preint import make_preintegrator
+            self._preint = make_preintegrator(c.acc_n, c.gyr_n,
+                                              c.acc_w, c.gyr_w)
 
         # lidar state (Estimator::InputPointCloud + FeatureAssociation)
         self._scans: list = []  # (time, np points in lidar frame)
@@ -255,21 +250,9 @@ class Estimator:
         # image undistortion (reference estimator.cpp undistort maps)
         self._undistort = None
         if c.undistort:
-            from lvio_fusion_tpu.ops.image import (
-                make_undistort_map, undistort_image,
-            )
-            maps = (make_undistort_map(cam_left, c.height, c.width),
-                    make_undistort_map(cam_right, c.height, c.width))
-
-            @jax.jit
-            def _und(img_u8, which):
-                img = img_u8.astype(jnp.float32)
-                out = jnp.where(which == 0,
-                                undistort_image(img, maps[0]),
-                                undistort_image(img, maps[1]))
-                return jnp.clip(out, 0, 255).astype(jnp.uint8)
-
-            self._undistort = _und
+            from lvio_fusion_tpu.ops.image import make_undistorter
+            self._undistort = make_undistorter(cam_left, cam_right,
+                                               c.height, c.width)
 
         # global stage: pose graph + navsat + loop closure
         from lvio_fusion_tpu.loop.pose_graph import PoseGraph
@@ -289,8 +272,10 @@ class Estimator:
                 resolution=c.resolution, mode=mode)
             self.relocator._cam = cam_left
             if mode & 1:
-                from lvio_fusion_tpu.ops.descriptors import brief_descriptors
-                self._brief = jax.jit(brief_descriptors)
+                from lvio_fusion_tpu.ops.descriptors import (
+                    brief_descriptors_j,
+                )
+                self._brief = brief_descriptors_j
         self._navsat_sections_done = 0
         # adaptive factor weighting (reference Agent::SetCore; weights are
         # produced by the TD3 actor at keyframe creation)

@@ -30,6 +30,7 @@ from lvio_fusion_tpu.ops.detect import detect_grid, occupancy_mask
 from lvio_fusion_tpu.ops.image import build_pyramid, pad_to_multiple
 from lvio_fusion_tpu.ops.lk import track_bidirectional
 from lvio_fusion_tpu.ops.stereo import pixel_to_norm, triangulate
+from lvio_fusion_tpu.utils.memo import builder_memo
 
 
 class TrackResult(NamedTuple):
@@ -136,6 +137,7 @@ def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
     return pose, inliers
 
 
+@builder_memo
 def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                   levels: int = 4, win: int = 15, max_depth: float = 150.0,
                   min_depth: float = 0.5, cell: int = 30,

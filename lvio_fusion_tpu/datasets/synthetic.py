@@ -13,6 +13,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,6 +103,23 @@ def _render(px, valid, H, W, brightness, sigma=1.3, rad=4):
     return img.at[ys, xs].add(vals)
 
 
+@partial(jax.jit, static_argnames=("H", "W"))
+def _render_all(cam_left, cam_right, poses, pwj, bj, H, W):
+    """Render the WHOLE stereo sequence in one program: (F, H, W) x 2.
+
+    Module-level so the trace is shared across make_sequence calls (a
+    per-call @jax.jit closure re-traced every time; utils/memo.py
+    rationale) and one dispatch replaces F of them."""
+    def pair(pose):
+        def one(cam):
+            pc = jax.vmap(lambda p: cam.world2sensor(p, pose))(pwj)
+            px = jax.vmap(cam.sensor2pixel)(pc)
+            valid = (pc[:, 2] > 0.8).astype(jnp.float32)
+            return _render(px, valid, H, W, bj)
+        return one(cam_left), one(cam_right)
+    return jax.vmap(pair)(poses)
+
+
 def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
                   speed=1.2, yaw_rate=0.02, seed=0, with_imu=False,
                   imu_rate=200.0, g_norm=9.81007, with_lidar=False,
@@ -154,10 +173,9 @@ def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
             rng.uniform(-5, 5, num_points),
             rng.uniform(3.0, 22.0, num_points),  # ahead along the tangent
         ], axis=1).astype(np.float32)
-        pw = np.stack([
-            np.asarray(se3_apply(jnp.asarray(posesd[a]),
-                                 jnp.asarray(local[k])))
-            for k, a in enumerate(anchors)]).astype(np.float32)
+        pw = np.asarray(jax.vmap(se3_apply)(
+            jnp.asarray(posesd[anchors]),
+            jnp.asarray(local))).astype(np.float32)
     else:
         pw = np.stack([
             rng.uniform(-8, 8 + baseline, num_points),
@@ -168,15 +186,6 @@ def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
 
     pwj = jnp.asarray(pw)
     bj = jnp.asarray(brightness)
-
-    @jax.jit
-    def render_pair(pose):
-        def one(cam):
-            pc = jax.vmap(lambda p: cam.world2sensor(p, pose))(pwj)
-            px = jax.vmap(cam.sensor2pixel)(pc)
-            valid = (pc[:, 2] > 0.8).astype(jnp.float32)
-            return _render(px, valid, H, W, bj)
-        return one(cam_left), one(cam_right)
 
     def hostile(img, i):
         """Exposure drift + sensor noise + moving occluders (in-place on
@@ -199,10 +208,12 @@ def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
         return np.clip(img, 0.0, 1.5).astype(np.float32)
 
     corrupt = exposure_drift or pixel_noise or num_occluders
+    left_all, right_all = _render_all(cam_left, cam_right, poses,
+                                      pwj, bj, H, W)
+    left_all, right_all = np.asarray(left_all), np.asarray(right_all)
     frames = []
     for i in range(num_frames):
-        l, r = render_pair(poses[i])
-        l, r = np.asarray(l), np.asarray(r)
+        l, r = left_all[i], right_all[i]
         if corrupt:
             l, r = hostile(l.copy(), i), hostile(r.copy(), i)
         frames.append(StereoFrame(float(times[i]), l, r))
@@ -223,39 +234,41 @@ def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
         g_w = np.array([0.0, g_norm, 0.0], np.float32)  # 'down' = +y
 
         n_sub = max(1, int(round(imu_rate * dt)))
-        imu_times_l, acc_l, gyr_l = [], [], []
-        posesd = np.asarray(poses, np.float64)
-        # dense pose sampling via fractional twist exponentials
+        # dense pose sampling via fractional twist exponentials — fully
+        # batched (the per-sample loop was thousands of eager dispatches)
         from lvio_fusion_tpu.geometry.se3 import se3_exp as _se3_exp
         h = dt / n_sub
-        for i in range(num_frames - 1):
-            for k in range(n_sub):
-                t_abs = times[i] + k * h
-                frac = k / n_sub
-                T = np.asarray(se3_mul(poses[i], _se3_exp(
-                    jnp.asarray(twist * frac, jnp.float32))))
-                q = T[:4]
-                # world velocity: R(t) v_b ; v_b from twist rate
-                # numerical: v_w = (p(t+e)-p(t-e))/2e
-                e = 1e-3
-                Tp = np.asarray(se3_mul(poses[i], _se3_exp(
-                    jnp.asarray(twist * (frac + e / dt), jnp.float32))))
-                Tm = np.asarray(se3_mul(poses[i], _se3_exp(
-                    jnp.asarray(twist * (frac - e / dt), jnp.float32))))
-                v_w = (Tp[4:] - Tm[4:]) / (2 * e)
-                a_w = np.asarray(quat_rotate(jnp.asarray(q), jnp.asarray(
-                    np.cross(omega_b, np.asarray(
-                        quat_rotate(jnp.asarray([q[0], -q[1], -q[2], -q[3]]),
-                                    jnp.asarray(v_w, jnp.float32)))))))
-                f_b = np.asarray(quat_rotate(
-                    jnp.asarray([q[0], -q[1], -q[2], -q[3]]),
-                    jnp.asarray(a_w - g_w, jnp.float32)))
-                imu_times_l.append(t_abs)
-                acc_l.append(f_b)
-                gyr_l.append(omega_b.copy())
-        imu_times = np.asarray(imu_times_l)
-        imu_acc = np.asarray(acc_l, np.float32)
-        imu_gyr = np.asarray(gyr_l, np.float32)
+        e = 1e-3
+        I = num_frames - 1
+        fr = np.arange(n_sub) / n_sub
+        twd = np.asarray(twist, np.float64)
+        base = poses[:-1]
+
+        def _poses_at(fracs):
+            steps = jax.vmap(_se3_exp)(jnp.asarray(
+                (twd[None, :] * fracs[:, None]).astype(np.float32)))
+            return np.asarray(jax.vmap(lambda T0: jax.vmap(
+                lambda S: se3_mul(T0, S))(steps))(base))   # (I, K, 7)
+
+        T = _poses_at(fr)
+        Tp = _poses_at(fr + e / dt)
+        Tm = _poses_at(fr - e / dt)
+        # world velocity: numerical derivative of the translation
+        v_w = (Tp[..., 4:] - Tm[..., 4:]) / (2 * e)
+        q = T[..., :4]
+        qc = q * np.array([1.0, -1.0, -1.0, -1.0], np.float32)
+
+        def _rot(Q, V):
+            return np.asarray(jax.vmap(jax.vmap(quat_rotate))(
+                jnp.asarray(Q), jnp.asarray(V, jnp.float32)))
+
+        v_b = _rot(qc, v_w)
+        a_w = _rot(q, np.cross(np.broadcast_to(omega_b, v_b.shape), v_b))
+        f_b = _rot(qc, a_w - g_w)
+        imu_times = (times[:I, None] + fr[None, :] * dt).reshape(-1)
+        imu_acc = f_b.reshape(-1, 3).astype(np.float32)
+        imu_gyr = np.broadcast_to(
+            omega_b, (I * n_sub, 3)).copy().astype(np.float32)
 
     scan_times = scans = lidar_ext = None
     if with_lidar:

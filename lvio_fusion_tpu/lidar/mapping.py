@@ -29,6 +29,7 @@ import numpy as np
 
 from lvio_fusion_tpu.geometry.se3 import se3_apply, se3_boxplus, se3_mul
 from lvio_fusion_tpu.ops.lidar import voxel_downsample
+from lvio_fusion_tpu.utils.memo import builder_memo
 
 def dof_masks(up_axis: str = "z"):
     """(ground_mask, surf_mask) over the se3 tangent [phi(3), rho(3)].
@@ -102,6 +103,7 @@ def _masked_gn(pose, pose_prior, pts_body, pts_valid, map_pts, map_valid,
     return pose, costs
 
 
+@builder_memo
 def make_scan_to_map(iters: int = 4, resolution: float = 0.2,
                      up_axis: str = "z"):
     """Build the jitted two-stage refine:

@@ -30,6 +30,10 @@ from lvio_fusion_tpu.solver import factors
 from lvio_fusion_tpu.solver.assemble import Contribution, assemble
 from lvio_fusion_tpu.solver.lm import lm_solve, pin_invalid
 
+# per-capacity section solvers shared across PoseGraph instances (jit
+# tracing is re-done for every new wrapper object; see utils/memo.py)
+_SECTION_SOLVERS: dict = {}
+
 
 @dataclass
 class Section:
@@ -206,6 +210,10 @@ class PoseGraph:
     def _make_solver(self):
         if self._solve is not None:
             return self._solve
+        cached = _SECTION_SOLVERS.get(self.cap)
+        if cached is not None:
+            self._solve = cached
+            return cached
         cap = self.cap
 
         @jax.jit
@@ -269,6 +277,7 @@ class PoseGraph:
             return res.params
 
         self._solve = solve
+        _SECTION_SOLVERS[self.cap] = solve
         return solve
 
     def _apply_rigid(self, m, transform, start_kf: int, end_kf: int):

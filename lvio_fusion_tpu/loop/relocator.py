@@ -30,6 +30,19 @@ import numpy as np
 from lvio_fusion_tpu.geometry.se3 import (
     se3_apply, se3_inv, se3_mul,
 )
+
+from lvio_fusion_tpu.utils.memo import builder_memo
+
+
+@builder_memo
+def _make_pnp(cam):
+    """Jitted visual PnP (pose-only GN) shared across Relocator
+    instances with the same camera (re-tracing per instance is the
+    dominant construction cost; utils/memo.py)."""
+    from lvio_fusion_tpu.core.frontend import pose_only_refine
+    return jax.jit(lambda p0, w, px, ok: pose_only_refine(
+        p0, w, px, ok, cam, iters=8))
+
 from lvio_fusion_tpu.lidar.mapping import knn3_planes, make_scan_to_map
 
 
@@ -135,9 +148,7 @@ class Relocator:
         if good_np.sum() < 10:
             return None
         if self._pnp is None:
-            cam = self._cam
-            self._pnp = jax.jit(lambda p0, w, px, ok: pose_only_refine(
-                p0, w, px, ok, cam, iters=8))
+            self._pnp = _make_pnp(self._cam)
         pose, inliers = self._pnp(
             jnp.asarray(m.kf_pose[old_idx]), jnp.asarray(pw),
             jnp.asarray(dc["px"]), jnp.asarray(good_np))

@@ -122,3 +122,8 @@ def match(d1, ok1, d2, ok2, max_dist: int = 50, ratio: float = 0.8):
             & (dbest.astype(jnp.float32)
                < ratio * dsecond.astype(jnp.float32)))
     return best, good
+
+
+# module-level jitted instance: `jax.jit(brief_descriptors)` creates a
+# fresh wrapper (and a fresh trace) per call site — share one.
+brief_descriptors_j = jax.jit(brief_descriptors)

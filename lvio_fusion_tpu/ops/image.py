@@ -179,6 +179,29 @@ def make_undistort_map(cam, H: int, W: int):
     return dist * f + c
 
 
+def make_undistorter(cam_left, cam_right, H: int, W: int):
+    """Jitted raw-u8 undistortion for a stereo pair (maps precomputed
+    once; shared across Estimator instances with the same cameras —
+    utils/memo.py)."""
+    maps = (make_undistort_map(cam_left, H, W),
+            make_undistort_map(cam_right, H, W))
+
+    @jax.jit
+    def undistort_u8(img_u8, which):
+        img = img_u8.astype(jnp.float32)
+        out = jnp.where(which == 0,
+                        undistort_image(img, maps[0]),
+                        undistort_image(img, maps[1]))
+        return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+    return undistort_u8
+
+
+from lvio_fusion_tpu.utils.memo import builder_memo
+
+make_undistorter = builder_memo(make_undistorter)
+
+
 def undistort_image(img, umap):
     """Apply a precomputed undistortion map (bilinear)."""
     return bilinear_sample(img, umap)

@@ -68,6 +68,27 @@ class Preintegration:
         return dp, quat_normalize(dq), dv
 
 
+
+def make_preintegrator(acc_n: float, gyr_n: float, acc_w: float,
+                       gyr_w: float):
+    """Jitted full preintegration with the noise densities baked in,
+    shared across Estimator instances with the same IMU parameters
+    (utils/memo.py: per-instance jit wrappers re-trace)."""
+    import jax
+
+    @jax.jit
+    def _preint(acc, gyr, dt, ba, bg):
+        return preintegrate(acc, gyr, dt, ba, bg, acc_n, gyr_n,
+                            acc_w, gyr_w)
+
+    return _preint
+
+
+from lvio_fusion_tpu.utils.memo import builder_memo
+
+make_preintegrator = builder_memo(make_preintegrator)
+
+
 def preintegrate(acc, gyr, dt, ba, bg, acc_n, gyr_n, acc_w, gyr_w):
     """Integrate buffers acc/gyr (S, 3) with per-step dt (S,) from the
     linearization biases ba/bg. dt[k] is the interval between sample k-1

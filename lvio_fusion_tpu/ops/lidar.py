@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from lvio_fusion_tpu.utils.memo import builder_memo
 
 INVALID_RANGE = 1e9
 
@@ -305,6 +306,7 @@ class FeatureExtractor(NamedTuple):
     # deskewed features from a two-scan window centered on the keyframe
 
 
+@builder_memo
 def make_feature_extractor(num_scans: int, horizon_scan: int,
                            ang_res_y: float, ang_bottom: float,
                            ground_rows: int, min_range: float,

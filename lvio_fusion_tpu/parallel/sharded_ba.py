@@ -31,8 +31,10 @@ from lvio_fusion_tpu.solver.ba import (
     BAParams, STATE_DIM, linearize_priors, linearize_visual, retract,
 )
 from lvio_fusion_tpu.solver.lm import BlockSystem, lm_solve, pin_invalid
+from lvio_fusion_tpu.utils.memo import builder_memo
 
 
+@builder_memo
 def make_sharded_window_ba(cam_left, cam_right, mesh: Mesh,
                            num_iters: int = 6, axis: str = "data"):
     """Build a window-BA solve whose visual-factor linearization +

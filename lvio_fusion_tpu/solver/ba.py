@@ -27,6 +27,7 @@ from lvio_fusion_tpu.geometry.se3 import se3_boxplus
 from lvio_fusion_tpu.solver import factors
 from lvio_fusion_tpu.solver.assemble import Contribution, assemble
 from lvio_fusion_tpu.solver.lm import lm_solve, pin_invalid
+from lvio_fusion_tpu.utils.memo import builder_memo
 
 STATE_DIM = 15
 POSE = slice(0, 6)
@@ -203,6 +204,7 @@ class WindowBAProblem(NamedTuple):
     use_imu: bool
 
 
+@builder_memo
 def make_window_ba(cam_left, cam_right, num_iters: int = 8, use_imu: bool = False,
                    imu_linearizer=None, packed: bool = False):
     """Build a jittable window-BA solve function.

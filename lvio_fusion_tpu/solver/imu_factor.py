@@ -21,6 +21,7 @@ from lvio_fusion_tpu.geometry.so3 import (
     exp_so3, quat_conj, quat_mul, quat_normalize, quat_rotate,
 )
 from lvio_fusion_tpu.solver.assemble import Contribution
+from lvio_fusion_tpu.utils.memo import builder_memo
 
 
 @flax.struct.dataclass
@@ -87,6 +88,7 @@ def imu_residual(xi_i, xi_j, pose_i, vel_i, bias_i, pose_j, vel_j, bias_j,
     return sqrt_info @ r
 
 
+@builder_memo
 def make_imu_linearizer():
     """Returns linearize(params, tables) -> [Contribution] for window BA."""
 

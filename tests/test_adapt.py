@@ -60,8 +60,8 @@ def test_env_training_end_to_end():
     cfg = EstimatorConfig(
         height=240, width=360, num_features=200, num_features_init=30,
         num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
-        window_kfs=4, landmark_slots=256, obs_slots=1024, po_slots=512,
-        ba_iters=4, cell=24, occupy_radius=10, max_keyframe_interval=0.2)
+        window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
+        ba_iters=5, cell=24, occupy_radius=10, max_keyframe_interval=0.2)
     est = Estimator(seq.cam_left, seq.cam_right, cfg)
     for fr in seq.frames:
         est.input_image(fr.time, fr.left, fr.right)

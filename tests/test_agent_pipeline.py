@@ -17,8 +17,8 @@ def test_agent_sets_keyframe_weights():
     cfg = EstimatorConfig(
         height=240, width=360, num_features=200, num_features_init=30,
         num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
-        window_kfs=4, landmark_slots=256, obs_slots=1024, po_slots=512,
-        ba_iters=4, cell=24, occupy_radius=10, max_keyframe_interval=0.3)
+        window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
+        ba_iters=5, cell=24, occupy_radius=10, max_keyframe_interval=0.3)
     est = Estimator(seq.cam_left, seq.cam_right, cfg)
     est.set_agent(Agent(TD3(seed=2)))
 

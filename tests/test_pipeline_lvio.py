@@ -15,7 +15,7 @@ def test_lvio_pipeline_runs_and_refines():
     cfg = EstimatorConfig(
         height=240, width=360, num_features=200, num_features_init=30,
         num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
-        window_kfs=4, landmark_slots=256, obs_slots=1024, po_slots=512,
+        window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
         ba_iters=5, cell=24, occupy_radius=10,
         use_lidar=True, num_scans=16, horizon_scan=360, ang_res_y=2.0,
         ang_bottom=15.0, ground_rows=8, min_range=1.0, max_range=50.0,

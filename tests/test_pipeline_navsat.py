@@ -14,8 +14,8 @@ def test_navsat_pipeline():
     cfg = EstimatorConfig(
         height=240, width=360, num_features=200, num_features_init=30,
         num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
-        window_kfs=5, landmark_slots=256, obs_slots=1024, po_slots=512,
-        ba_iters=4, cell=24, occupy_radius=10,
+        window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
+        ba_iters=5, cell=24, occupy_radius=10,
         use_navsat=True, max_keyframe_interval=0.25, global_every_kfs=3,
         navsat_v=True)  # GPS-speed prediction seeding (frontend.cpp:104-106)
     est = Estimator(seq.cam_left, seq.cam_right, cfg)
