@@ -179,35 +179,50 @@ class LidarMapping:
             pw = np.asarray(jax.vmap(lambda p: se3_apply(pose, p))(pts))
             store[kf_idx] = (pw.astype(np.float32), f[name + "_valid"])
 
-    def global_map(self, resolution: float = None) -> np.ndarray:
+    # per-class point colors, matching Mapping::Color exactly
+    # (mapping.cpp:14-38: ground = magenta 255/0/255, surf = green 0/255/0)
+    _COLORS = {"ground": (255, 0, 255), "surf": (0, 255, 0)}
+
+    def global_map(self, resolution: float = None, with_color: bool = False):
         """Merge ALL keyframes' world clouds into one voxel-downsampled
-        point set (Mapping::GetGlobalMap, mapping.cpp:231-249, minus the
-        RViz RGB coloring — consumers get raw xyz). Pure numpy: the
-        global map is unbounded, so this stays off the fixed-shape
-        device path."""
+        point set (Mapping::GetGlobalMap, mapping.cpp:231-249). With
+        ``with_color`` also returns per-point RGB uint8 class colors
+        (Mapping::Color, mapping.cpp:14-38). Pure numpy: the global map
+        is unbounded, so this stays off the fixed-shape device path."""
         res = self.resolution if resolution is None else resolution
-        pts = []
-        for store in (self.world_ground, self.world_surf):
+        pts, cols = [], []
+        for name, store in (("ground", self.world_ground),
+                            ("surf", self.world_surf)):
             for p, v in store.values():
                 pts.append(p[v])
+                cols.append(np.broadcast_to(
+                    np.asarray(self._COLORS[name], np.uint8),
+                    (int(v.sum()), 3)))
         if not pts:
-            return np.zeros((0, 3), np.float32)
+            empty = np.zeros((0, 3), np.float32)
+            return (empty, np.zeros((0, 3), np.uint8)) if with_color \
+                else empty
         allp = np.concatenate(pts).astype(np.float32)
+        allc = np.concatenate(cols)
         # hash-grid voxel dedup (keep one point per res-cell)
         cell = np.floor(allp / max(res, 1e-6)).astype(np.int64)
         _, keep = np.unique(cell, axis=0, return_index=True)
-        return allp[np.sort(keep)]
+        keep = np.sort(keep)
+        return (allp[keep], allc[keep]) if with_color else allp[keep]
 
     def save_global_map(self, path: str, resolution: float = None):
-        """Write the merged global map as an ASCII PLY point cloud."""
-        pts = self.global_map(resolution)
+        """Write the merged global map as an ASCII PLY point cloud with
+        the reference's per-class RGB colors."""
+        pts, cols = self.global_map(resolution, with_color=True)
         with open(path, "w") as f:
             f.write("ply\nformat ascii 1.0\n"
                     f"element vertex {len(pts)}\n"
                     "property float x\nproperty float y\nproperty float z\n"
-                    "end_header\n")
-            for p in pts:
-                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+                    "property uchar red\nproperty uchar green\n"
+                    "property uchar blue\nend_header\n")
+            for p, c in zip(pts, cols):
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} "
+                        f"{c[0]} {c[1]} {c[2]}\n")
         return len(pts)
 
     def _local_map(self, kf_idx):

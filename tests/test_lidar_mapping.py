@@ -96,4 +96,11 @@ def test_global_map_export(tmp_path):
     n = mapping.save_global_map(str(out))
     head = out.read_text().splitlines()
     assert head[0] == "ply" and f"element vertex {n}" in head[2]
-    assert len(head) == 7 + n
+    assert len(head) == 10 + n  # 3 extra RGB property lines
+    # class colors (mapping.cpp:14-38): ground magenta, surf green
+    body = np.array([ln.split() for ln in head[10:]], np.float32)
+    cols = {tuple(r.astype(int)) for r in body[:, 3:6]}
+    assert cols <= {(255, 0, 255), (0, 255, 0)} and len(cols) == 2
+    # color survives the dedup aligned with its point
+    pts_c, col_c = mapping.global_map(with_color=True)
+    assert len(pts_c) == n and col_c.shape == (n, 3)
