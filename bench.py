@@ -35,12 +35,22 @@ def main():
     # batch 12). On a locally-attached TPU the pipeline is the faster
     # path.
     pipelined = os.environ.get("BENCH_PIPE", "0") == "1"
+    # DCT-compressed image upload (ops/dct.py): the tunneled TPU's wire
+    # bandwidth (~11-17 MB/s measured) makes the raw uint8 image upload
+    # (5.6 MB per 12-frame flush) the throughput ceiling — compressing
+    # the upload ~4x moves the ceiling to device compute. BENCH_DCT=0
+    # reverts to raw uint8 upload.
+    dct_k = int(os.environ.get("BENCH_DCT", 16))
+    dct_q = int(os.environ.get("BENCH_DCTQ", 100))  # same payload bytes
+    # at any quality; q=100 turns the per-block scale into an adaptive
+    # uniform quantizer (best measured tracking fidelity)
     cfg = EstimatorConfig(
         height=H, width=W, num_features=400, num_features_init=50,
         num_features_tracking_bad=20, num_features_needed_for_keyframe=120,
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
         ba_iters=5, frame_batch=batch,
-        pipelined_flush=pipelined and batch > 1)
+        pipelined_flush=pipelined and batch > 1, dct_k=dct_k,
+        dct_quality=dct_q)
 
     # warmup on the SAME estimator (each Estimator instance creates fresh
     # jit closures, so a second instance would recompile everything);
@@ -77,6 +87,7 @@ def main():
              for name, s in snap.items()}  # ms per FRAME, not per call
     stats["kf_per_frame"] = round(
         (est.map.num_kfs - kfs_warm) / max(n_timed, 1), 3)
+    stats["upload"] = f"dct{dct_k}q{cfg.dct_quality}" if dct_k else "u8"
     if os.environ.get("BENCH_STATS"):
         import sys
 

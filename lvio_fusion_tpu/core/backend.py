@@ -28,6 +28,77 @@ from lvio_fusion_tpu.solver.ba import (
 )
 
 
+from lvio_fusion_tpu.utils.memo import builder_memo
+
+
+@builder_memo
+def _packed_entry(solve, caps, use_imu: bool):
+    """Jitted (fbuf, ibuf) -> packed-solve entry around a window-BA solve
+    function (shared across Backend instances with equal configuration;
+    ``solve`` itself comes from the memoized make_window_ba, so equal
+    configs key to the same entry)."""
+    packer = _TablePacker(caps, use_imu)
+    if use_imu:
+        from lvio_fusion_tpu.models.sensors import GRAVITY
+        from lvio_fusion_tpu.solver.imu_factor import (
+            ImuFactorTables, sqrt_info_from_cov,
+        )
+        M = caps.K - 1
+
+    @jax.jit
+    def run(fbuf, ibuf):
+        d = packer.unpack(fbuf, ibuf)
+        params = BAParams(poses=d["poses"], vel=d["vel"], bias=d["bias"],
+                          inv_depth=d["inv_depth"])
+        vt = VisualTables(
+            lm_anchor=d["lm_anchor"], lm_first_ob=d["lm_first_ob"],
+            lm_left_ob=d["lm_left_ob"], lm_valid=d["lm_valid"],
+            lm_weight=d["lm_weight"], obs_lm=d["obs_lm"],
+            obs_frame=d["obs_frame"], obs_pixel=d["obs_pixel"],
+            obs_weight=d["obs_weight"], obs_valid=d["obs_valid"],
+            po_frame=d["po_frame"], po_pw=d["po_pw"],
+            po_pixel=d["po_pixel"], po_weight=d["po_weight"],
+            po_valid=d["po_valid"])
+        pt = PriorTables(frame=d["pt_frame"], pose=d["pt_pose"],
+                         weight=d["pt_weight"], valid=d["pt_valid"])
+        if use_imu:
+            it = ImuFactorTables(
+                frame_i=jnp.arange(M, dtype=jnp.int32),
+                frame_j=jnp.arange(1, M + 1, dtype=jnp.int32),
+                dp=d["imu_dp"], dq=d["imu_dq"], dv=d["imu_dv"],
+                sum_dt=d["imu_sum_dt"], jac=d["imu_jac"],
+                sqrt_info=sqrt_info_from_cov(d["imu_cov"]),
+                lin_ba=d["imu_lin_ba"], lin_bg=d["imu_lin_bg"],
+                valid=d["imu_valid"], g_norm=jnp.float32(GRAVITY))
+            return solve(params, vt, pt, d["kf_valid"], d["kf_fixed"], it)
+        return solve(params, vt, pt, d["kf_valid"], d["kf_fixed"])
+
+    return run, packer
+
+
+def _tables_from_dict(d: dict):
+    """(BAParams, VisualTables, PriorTables) from the numpy slab dict
+    (legacy unpacked dispatch path)."""
+    j = {k: jnp.asarray(v) for k, v in d.items()}
+    params = BAParams(poses=j["poses"], vel=j["vel"], bias=j["bias"],
+                      inv_depth=j["inv_depth"])
+    vt = VisualTables(
+        lm_anchor=j["lm_anchor"].astype(jnp.int32),
+        lm_first_ob=j["lm_first_ob"], lm_left_ob=j["lm_left_ob"],
+        lm_valid=j["lm_valid"], lm_weight=j["lm_weight"],
+        obs_lm=j["obs_lm"].astype(jnp.int32),
+        obs_frame=j["obs_frame"].astype(jnp.int32),
+        obs_pixel=j["obs_pixel"], obs_weight=j["obs_weight"],
+        obs_valid=j["obs_valid"],
+        po_frame=j["po_frame"].astype(jnp.int32), po_pw=j["po_pw"],
+        po_pixel=j["po_pixel"], po_weight=j["po_weight"],
+        po_valid=j["po_valid"])
+    pt = PriorTables(frame=j["pt_frame"].astype(jnp.int32),
+                     pose=j["pt_pose"], weight=j["pt_weight"],
+                     valid=j["pt_valid"])
+    return params, vt, pt
+
+
 def pose_only_refine_np(pose, pw, px, valid, cam, iters: int = 1,
                         huber_px: float = 4.0, weight: float = 1.0):
     """Host-side f64 pose-only GN over reprojection factors.
@@ -92,6 +163,70 @@ class WindowCaps(NamedTuple):
     Q: int = 16      # prior slots
 
 
+class _TablePacker:
+    """Flattens every window-BA table into TWO host buffers (one f32,
+    one i32), unpacked by static slicing inside the jitted solve entry.
+
+    Why: the axon relay enters a slow per-call mode after the first
+    device->host fetch of a computed result (measured: ~1-4 ms of
+    enqueue per device_put afterwards, vs ~0.04 ms before). A dispatch
+    that uploads ~25 small tables pays ~10 ms of pure call overhead per
+    keyframe; two flat puts pay ~1 ms regardless of table count."""
+
+    def __init__(self, caps: WindowCaps, use_imu: bool):
+        K, L, F, G, Q = caps.K, caps.L, caps.F, caps.G, caps.Q
+        M = K - 1
+        f = [("poses", (K, 7)), ("vel", (K, 3)), ("bias", (K, 6)),
+             ("inv_depth", (L,)), ("lm_first_ob", (L, 2)),
+             ("lm_left_ob", (L, 2)), ("lm_weight", (L,)),
+             ("obs_pixel", (F, 2)), ("obs_weight", (F,)),
+             ("po_pw", (G, 3)), ("po_pixel", (G, 2)), ("po_weight", (G,)),
+             ("pt_pose", (Q, 7)), ("pt_weight", (Q,))]
+        i = [("lm_anchor", (L,)), ("obs_lm", (F,)), ("obs_frame", (F,)),
+             ("po_frame", (G,)), ("pt_frame", (Q,)), ("lm_valid", (L,)),
+             ("obs_valid", (F,)), ("po_valid", (G,)), ("pt_valid", (Q,)),
+             ("kf_valid", (K,)), ("kf_fixed", (K,))]
+        if use_imu:
+            # covariance rides instead of sqrt-info: the 15x15 LLT moves
+            # into the device program (the host-side conversion was a
+            # full blocking fetch per keyframe)
+            f += [("imu_dp", (M, 3)), ("imu_dq", (M, 4)),
+                  ("imu_dv", (M, 3)), ("imu_sum_dt", (M,)),
+                  ("imu_jac", (M, 15, 15)), ("imu_cov", (M, 15, 15)),
+                  ("imu_lin_ba", (M, 3)), ("imu_lin_bg", (M, 3))]
+            i += [("imu_valid", (M,))]
+        self.f_specs, self.i_specs = f, i
+        self.f_len = sum(int(np.prod(s)) for _, s in f)
+        self.i_len = sum(int(np.prod(s)) for _, s in i)
+
+    def pack(self, d: dict):
+        fbuf = np.zeros(self.f_len, np.float32)
+        ibuf = np.zeros(self.i_len, np.int32)
+        for buf, specs, dt in ((fbuf, self.f_specs, np.float32),
+                               (ibuf, self.i_specs, np.int32)):
+            o = 0
+            for name, shape in specs:
+                n = int(np.prod(shape))
+                buf[o:o + n] = np.asarray(d[name]).astype(dt).ravel()
+                o += n
+        return fbuf, ibuf
+
+    def unpack(self, fbuf, ibuf) -> dict:
+        """Static-sliced views (jit-traceable); *_valid/*_fixed come
+        back as bool."""
+        out = {}
+        for buf, specs in ((fbuf, self.f_specs), (ibuf, self.i_specs)):
+            o = 0
+            for name, shape in specs:
+                n = int(np.prod(shape))
+                v = buf[o:o + n].reshape(shape)
+                o += n
+                if name.endswith("_valid") or name.endswith("_fixed"):
+                    v = v != 0
+                out[name] = v
+        return out
+
+
 class PendingBA(NamedTuple):
     """An in-flight window solve: the device buffer plus everything needed
     to write the result back later (the reference backend thread's
@@ -123,12 +258,16 @@ class Backend:
         self.use_imu = use_imu
         self.solve_vo = make_window_ba(cam_left, cam_right,
                                        num_iters=num_iters, packed=True)
+        self._solve_packed_vo, self._packer_vo = _packed_entry(
+            self.solve_vo, caps, False)
         if use_imu:
             from lvio_fusion_tpu.solver.imu_factor import make_imu_linearizer
             self.solve_vio = make_window_ba(
                 cam_left, cam_right, num_iters=num_iters, use_imu=True,
                 imu_linearizer=imu_linearizer or make_imu_linearizer(),
                 packed=True)
+            self._solve_packed_vio, self._packer_vio = _packed_entry(
+                self.solve_vio, caps, True)
     def _select_window(self, m: HostMap):
         """Last K kfs, clipped to window_seconds like backend.cpp:221."""
         n = m.num_kfs
@@ -236,65 +375,57 @@ class Backend:
             return out
 
         F, G, L, K, Q = caps.F, caps.G, caps.L, caps.K, caps.Q
-        vt = VisualTables(
-            lm_anchor=jnp.asarray(pad(
-                np.asarray([kf_local[int(a)] for a in lm_anchor_g[opt_ids]],
-                           np.int64), L).astype(np.int32)),
-            lm_first_ob=jnp.asarray(pad(
-                np.stack([m.lm_first_ob[i] for i in opt_ids])
-                if L_act else np.zeros((0, 2)), L).astype(np.float32)),
-            lm_left_ob=jnp.asarray(pad(
-                np.stack([m.lm_left_ob[i] for i in opt_ids])
-                if L_act else np.zeros((0, 2)), L).astype(np.float32)),
-            lm_valid=jnp.asarray(pad(np.ones(L_act, bool), L, False)),
-            lm_weight=jnp.asarray(pad(
-                self.stereo_weight_mul
-                * np.asarray([m.kf_weights[a][0]
-                              for a in lm_anchor_g[opt_ids]], np.float32)
-                if L_act else np.zeros(0), L).astype(np.float32)),
-            obs_lm=jnp.asarray(pad(tf_lm, F).astype(np.int32)),
-            obs_frame=jnp.asarray(pad(tf_kf, F).astype(np.int32)),
-            obs_pixel=jnp.asarray(pad(tf_px, F).astype(np.float32)),
-            obs_weight=jnp.asarray(pad(vis_w[tf_kf], F).astype(np.float32)),
-            obs_valid=jnp.asarray(pad(np.ones(len(tf_lm), bool), F, False)),
-            po_frame=jnp.asarray(pad(po_kf, G).astype(np.int32)),
-            po_pw=jnp.asarray(pad(po_pw, G).astype(np.float32)),
-            po_pixel=jnp.asarray(pad(po_px, G).astype(np.float32)),
-            po_weight=jnp.asarray(pad(vis_w[po_kf], G).astype(np.float32)),
-            po_valid=jnp.asarray(pad(np.ones(len(po_kf), bool), G, False)),
-        )
-
         # weak prior on every window kf to its current pose (small weight) —
         # stabilizes kfs that lost most features (backend.cpp:164-178)
         poses0 = np.stack([m.kf_pose[g] for g in kf_idx]).astype(np.float32)
-        pt = PriorTables(
-            frame=jnp.asarray(pad(np.arange(K_act), Q).astype(np.int32)),
-            pose=jnp.asarray(pad(poses0, Q).astype(np.float32)),
-            weight=jnp.asarray(pad(np.full(K_act, 0.1), Q).astype(np.float32)),
-            valid=jnp.asarray(pad(np.ones(K_act, bool), Q, False)),
-        )
-
-        params = BAParams(
-            poses=jnp.asarray(pad(poses0, K).astype(np.float32)),
-            vel=jnp.asarray(pad(
-                np.stack([m.kf_vel[g] for g in kf_idx]), K).astype(np.float32)),
-            bias=jnp.asarray(pad(
-                np.stack([m.kf_bias[g] for g in kf_idx]), K).astype(np.float32)),
-            inv_depth=jnp.asarray(pad(
+        d = dict(
+            lm_anchor=pad(np.asarray(
+                [kf_local[int(a)] for a in lm_anchor_g[opt_ids]],
+                np.int64), L),
+            lm_first_ob=pad(np.stack([m.lm_first_ob[i] for i in opt_ids])
+                            if L_act else np.zeros((0, 2)), L),
+            lm_left_ob=pad(np.stack([m.lm_left_ob[i] for i in opt_ids])
+                           if L_act else np.zeros((0, 2)), L),
+            lm_valid=pad(np.ones(L_act, bool), L, False),
+            lm_weight=pad(
+                self.stereo_weight_mul
+                * np.asarray([m.kf_weights[a][0]
+                              for a in lm_anchor_g[opt_ids]], np.float32)
+                if L_act else np.zeros(0), L),
+            obs_lm=pad(tf_lm, F), obs_frame=pad(tf_kf, F),
+            obs_pixel=pad(tf_px, F), obs_weight=pad(vis_w[tf_kf], F),
+            obs_valid=pad(np.ones(len(tf_lm), bool), F, False),
+            po_frame=pad(po_kf, G), po_pw=pad(po_pw, G),
+            po_pixel=pad(po_px, G), po_weight=pad(vis_w[po_kf], G),
+            po_valid=pad(np.ones(len(po_kf), bool), G, False),
+            pt_frame=pad(np.arange(K_act), Q),
+            pt_pose=pad(poses0, Q),
+            pt_weight=pad(np.full(K_act, 0.1), Q),
+            pt_valid=pad(np.ones(K_act, bool), Q, False),
+            poses=pad(poses0, K),
+            vel=pad(np.stack([m.kf_vel[g] for g in kf_idx]), K),
+            bias=pad(np.stack([m.kf_bias[g] for g in kf_idx]), K),
+            inv_depth=pad(
                 np.asarray([m.lm_inv_depth[i] for i in opt_ids], np.float32)
-                if L_act else np.zeros(0), L, 1.0).astype(np.float32)),
+                if L_act else np.zeros(0), L, 1.0),
+            kf_valid=pad(np.ones(K_act, bool), K, False),
+            kf_fixed=np.eye(1, K, 0, dtype=bool)[0],
         )
-        kf_valid = jnp.asarray(pad(np.ones(K_act, bool), K, False))
-        kf_fixed = jnp.zeros(K, bool).at[0].set(True)
 
         use_vio = self.use_imu and imu_ready
-        if use_vio and imu_tables is None:
-            imu_tables = self._build_imu_tables(m, kf_idx)
-        if use_vio:
-            flat = self.solve_vio(params, vt, pt, kf_valid, kf_fixed,
-                                  imu_tables)
+        if use_vio and imu_tables is not None:
+            # externally-supplied tables: legacy unpacked path
+            params, vt, pt = _tables_from_dict(d)
+            flat = self.solve_vio(params, vt, pt,
+                                  jnp.asarray(d["kf_valid"]),
+                                  jnp.asarray(d["kf_fixed"]), imu_tables)
+        elif use_vio:
+            d.update(self._build_imu_dict(m, kf_idx))
+            fbuf, ibuf = self._packer_vio.pack(d)
+            flat = self._solve_packed_vio(fbuf, ibuf)
         else:
-            flat = self.solve_vo(params, vt, pt, kf_valid, kf_fixed)
+            fbuf, ibuf = self._packer_vo.pack(d)
+            flat = self._solve_packed_vo(fbuf, ibuf)
         return PendingBA(
             flat=flat, kf_idx=kf_idx, opt_ids=opt_ids,
             tf_src=tf_src, po_src=po_src,
@@ -353,6 +484,36 @@ class Backend:
                 if m.lm_num_obs[lid] <= 1:
                     # anchor-only support left: stop using this landmark
                     m.lm_alive[lid] = False
+
+    def _build_imu_dict(self, m: HostMap, kf_idx) -> dict:
+        """Numpy IMU factor slabs for the packed dispatch (covariance in
+        place of sqrt-info — the LLT runs inside the device program)."""
+        M = self.caps.K - 1
+        d = dict(
+            imu_dp=np.zeros((M, 3), np.float32),
+            imu_dq=np.zeros((M, 4), np.float32),
+            imu_dv=np.zeros((M, 3), np.float32),
+            imu_sum_dt=np.ones((M,), np.float32),
+            imu_jac=np.tile(np.eye(15, dtype=np.float32), (M, 1, 1)),
+            imu_cov=np.tile(np.eye(15, dtype=np.float32), (M, 1, 1)),
+            imu_lin_ba=np.zeros((M, 3), np.float32),
+            imu_lin_bg=np.zeros((M, 3), np.float32),
+            imu_valid=np.zeros((M,), bool),
+        )
+        d["imu_dq"][:, 0] = 1.0
+        for s, (gi, gj) in enumerate(zip(kf_idx[:-1], kf_idx[1:])):
+            if s >= M:
+                break
+            p = m.kf_preint[gj]
+            if p is None or not (m.kf_good_imu[gi] and m.kf_good_imu[gj]):
+                continue
+            d["imu_dp"][s], d["imu_dq"][s], d["imu_dv"][s] = \
+                p["dp"], p["dq"], p["dv"]
+            d["imu_sum_dt"][s] = p["sum_dt"]
+            d["imu_jac"][s], d["imu_cov"][s] = p["jac"], p["cov"]
+            d["imu_lin_ba"][s], d["imu_lin_bg"][s] = p["lin_ba"], p["lin_bg"]
+            d["imu_valid"][s] = True
+        return d
 
     def _build_imu_tables(self, m: HostMap, kf_idx):
         """Stack stored preintegrations between consecutive window kfs

@@ -125,6 +125,15 @@ class EstimatorConfig:
     # refreshed landmarks (Backend::UpdateFrontend, backend.cpp:248-293)
     navsat_v: bool = False  # GPS-speed seeding of the frame prediction
     # (reference 'navsat_v' yaml flag; frontend.cpp:49-65,104-106)
+    dct_k: int = 0  # >0: upload images as DCT coefficients (keep the
+    # first K zigzag coefficients per 8x8 block; ops/dct.py) and decode
+    # on-device inside the frame programs. ~4x fewer upload bytes — the
+    # throughput lever when the TPU sits behind a bandwidth-limited link
+    # (the axon tunnel measures ~11-17 MB/s; raw 376x1241 uint8 frames
+    # make the upload, not compute, the pipeline ceiling). K=16 at
+    # quality 92 tracks within hundredths of a pixel of raw uint8
+    # (tests/test_dct.py).
+    dct_quality: int = 92  # JPEG-style quantization quality for dct_k
 
 
 class Estimator:
@@ -141,7 +150,19 @@ class Estimator:
             levels=c.levels, win=c.lk_window, cell=c.cell,
             occupy_radius=c.occupy_radius,
             remove_moving=c.remove_moving_points, moving_px=c.moving_px,
-            equalize=c.equalize_hist)
+            equalize=c.equalize_hist, dct_k=c.dct_k,
+            dct_quality=c.dct_quality)
+        self._dct = None
+        self._enc_pool = None
+        if c.dct_k:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from lvio_fusion_tpu.ops.dct import make_encoder
+            self._dct = make_encoder(c.height, c.width, c.dct_k,
+                                     c.dct_quality)
+            # per-frame encodes overlap each other at buffering time (the
+            # jitted CPU program releases the GIL); the flush gathers
+            self._enc_pool = ThreadPoolExecutor(max_workers=4)
         self.preprocess = fns.preprocess
         self.track_frame = fns.track_frame
         self.make_keyframe = fns.make_keyframe
@@ -571,6 +592,20 @@ class Estimator:
             return img
         return np.clip(img * 255.0, 0, 255).astype(np.uint8)
 
+    def _img_dev(self, img):
+        """Device payload for one image: the raw u8 array, or the
+        (nb, K+2) int8 DCT payload when cfg.dct_k is enabled
+        (ops/dct.py). Accepts an already-encoded payload or an in-flight
+        encode future unchanged — buffered frames drained through the
+        per-frame path arrive that way."""
+        if self._dct is None:
+            return jnp.asarray(img)
+        if hasattr(img, "result"):
+            img = img.result()
+        if getattr(img, "dtype", None) == np.int8:
+            return jnp.asarray(img)  # already encoded
+        return jnp.asarray(self._dct(img))
+
     def input_image(self, time: float, img_left, img_right,
                     init_pose=None) -> np.ndarray:
         """Process one stereo pair (uint8 or [0,1] float grayscale);
@@ -611,7 +646,7 @@ class Estimator:
             self._reset_kf_imu_buffer()
         pose = (np.asarray(se3_identity()) if init_pose is None
                 else np.asarray(init_pose, np.float32))
-        pyr_left = self.preprocess(jnp.asarray(img_left_u8))
+        pyr_left = self.preprocess(self._img_dev(img_left_u8))
         ok = self._init_map(time, pyr_left, self._to_u8(img_right), pose)
         if ok:
             self.status = self.TRACKING
@@ -675,7 +710,7 @@ class Estimator:
         d = self._dev
         (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed) = \
             self.frame_step_chained(
-                jnp.asarray(img_left), d["pyr"], d["feat_px"],
+                self._img_dev(img_left), d["pyr"], d["feat_px"],
                 d["feat_valid"], d["lm_world"], d["pose"], d["relative"],
                 jnp.asarray(ext_pred), jnp.asarray(use_ext))
         self._dev = dict(pyr=pyr_cur, feat_px=fpx_d, feat_valid=fval_d,
@@ -744,12 +779,19 @@ class Estimator:
             # pre-stage the upload NOW (async device_put): the transfer
             # overlaps the in-flight batch's compute instead of blocking
             # the flush dispatch for ~100 ms of tunnel bandwidth
-            self._fbuf.append((float(time), jax.device_put(img_left_u8),
+            staged = (self._enc_pool.submit(self._dct, img_left_u8)
+                      if self._dct is not None
+                      else jax.device_put(img_left_u8))
+            self._fbuf.append((float(time), staged,
                                self._to_u8(img_right)))
             if len(self._fbuf) >= self.cfg.frame_batch:
                 return self._flush_pipe()
         else:
-            self._fbuf.append((float(time), img_left_u8,
+            # encode at buffering time (the pool overlaps per-frame
+            # encodes instead of serializing them into the flush)
+            left = (self._enc_pool.submit(self._dct, img_left_u8)
+                    if self._dct is not None else img_left_u8)
+            self._fbuf.append((float(time), left,
                                self._to_u8(img_right)))
             if len(self._fbuf) >= self.cfg.frame_batch:
                 return self._flush_batch()
@@ -772,8 +814,18 @@ class Estimator:
         # at buffering time cost ~5 ms of enqueue RTT each)
         from lvio_fusion_tpu.utils.profiling import TIMERS
         with TIMERS.time("frontend.flush.upload"):
-            imgs = jax.device_put(np.stack([l for _, l, _ in buf]))
-            right_dev = jax.device_put(buf[-1][2])
+            if self._dct is not None:
+                # left frames were encoded at buffering time (pool
+                # futures): ONE put of the stacked (B, nb, K+2) int8
+                # payload — ~4x fewer bytes than raw u8 (the upload is
+                # the tunnel's bottleneck) and one call (the slow-mode
+                # relay charges ~ms per put)
+                imgs = jax.device_put(
+                    np.stack([l.result() for _, l, _ in buf]))
+                right_dev = jax.device_put(self._dct(buf[-1][2]))
+            else:
+                imgs = jax.device_put(np.stack([l for _, l, _ in buf]))
+                right_dev = jax.device_put(buf[-1][2])
 
         C = self._batch_imu_cap
         if C:
@@ -841,16 +893,24 @@ class Estimator:
                          relative=rel_d)
         self.last_pyr = pyr_cur  # _sync_device_state re-seeds from this
         with TIMERS.time("frontend.flush.fetch"):
+            # one sync for everything the host needs this flush — incl.
+            # the PREVIOUS keyframe's in-flight BA result (each extra
+            # device_get is a full slow-mode sync, ~30 ms on the relay)
+            pend = self._pending_ba
+            extra = (pend.flat,) if pend is not None else ()
             if C:
-                packed_np, kf_np, vel_np = jax.device_get(
-                    (packed, kf_packed, vel_d))
+                got = jax.device_get((packed, kf_packed, vel_d) + extra)
+                packed_np, kf_np, vel_np = got[:3]
                 if self.imu_initialized:
                     # IMU-propagated velocity across the batch; a pending
                     # BA correction (finished inside _create_keyframe)
                     # rotates it
                     self.cur_vel = np.asarray(vel_np, np.float32)
             else:
-                packed_np, kf_np = jax.device_get((packed, kf_packed))
+                got = jax.device_get((packed, kf_packed) + extra)
+                packed_np, kf_np = got[:2]
+            if pend is not None:
+                self._pending_ba = pend._replace(flat=got[-1])
         rows = [unpack_track_result(packed_np[b], self.cfg.num_features)
                 for b in range(B)]
         inliers = [r[3] for r in rows]
@@ -1051,7 +1111,8 @@ class Estimator:
                       + times).astype(np.float32)
         p = self._pipe
         out = self._pipe_step(
-            tuple(l for _, l, _ in buf), jnp.asarray(buf[-1][2]),
+            tuple(self._img_dev(l) for _, l, _ in buf),
+            self._img_dev(buf[-1][2]),
             p["pyr"], p["feat_px"], p["feat_valid"], p["feat_gen"],
             p["lm_world"], p["pose"], p["relative"], p["vel"],
             p["t_since_kf"],
@@ -1302,7 +1363,7 @@ class Estimator:
             unpack_keyframe_desc, unpack_keyframe_result,
         )
         kf_packed = self.keyframe_step(
-            jnp.asarray(img_right_u8), pyr_left,
+            self._img_dev(img_right_u8), pyr_left,
             jnp.asarray(self.feat_px), jnp.asarray(self.feat_valid),
             jnp.asarray(pose, dtype=jnp.float32))
         kf = unpack_keyframe_result(kf_packed)
@@ -1383,7 +1444,7 @@ class Estimator:
         was_speculative = kf_packed is not None
         if kf_packed is None:
             kf_packed = self.keyframe_step(
-                jnp.asarray(img_right_u8), pyr_left,
+                self._img_dev(img_right_u8), pyr_left,
                 jnp.asarray(self.feat_px), jnp.asarray(self.feat_valid),
                 jnp.asarray(pose, dtype=jnp.float32))
         kf = unpack_keyframe_result(kf_packed)

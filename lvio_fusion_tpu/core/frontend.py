@@ -143,22 +143,40 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                   min_depth: float = 0.5, cell: int = 30,
                   occupy_radius: int = 15, lk_iters: int = 6,
                   remove_moving: bool = True, moving_px: float = 30.0,
-                  equalize: bool = False):
+                  equalize: bool = False, dct_k: int = 0,
+                  dct_quality: int = 92):
     """Build the jitted frontend stage functions for a fixed image size.
 
     The per-frame path (pyramid build + LK + pose refine) is ONE jitted
     program (``frame_step``) taking the raw uint8 image — a single device
     dispatch and a 1-byte-per-pixel upload per frame (the TPU can sit
     behind a high-latency link; dispatch count dominates wall time).
+
+    With ``dct_k`` > 0 every image argument instead arrives as the
+    (nb, K+2) int8 DCT payload from :mod:`lvio_fusion_tpu.ops.dct` —
+    ~4x fewer upload bytes over bandwidth-limited links — and the decode
+    (two batched 8x8 matmuls) fuses into the same programs.
     """
 
     pad_mult = 2 ** (levels - 1)
+    if dct_k:
+        from lvio_fusion_tpu.ops.dct import make_decoder
+        _dct_decode = make_decoder(H, W, dct_k, dct_quality)
+
+    def _img_at(imgs, b):
+        """Frame b of a stacked image payload (u8 images or (B, nb, K+2)
+        DCT payloads index the same way)."""
+        return imgs[b]
 
     def _pyramid(img):
+        if dct_k:
+            img = _dct_decode(img)  # f32 in [0, 255]
         if equalize:
             # reference lvio_fusion_node.cpp:94 — every incoming frame is
             # histogram-equalized before tracking (low-contrast imagery)
             from lvio_fusion_tpu.ops.image import equalize_hist
+            if dct_k:
+                img = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
             img = equalize_hist(img)
         img = pad_to_multiple(img.astype(jnp.float32) * (1.0 / 255.0),
                               pad_mult)
@@ -359,7 +377,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             (pose_pred, vel')`` supplies the per-frame warp seed."""
             packed_rows = []
             for b in range(B):
-                pyr_cur = _pyramid(imgs_u8[b])
+                pyr_cur = _pyramid(_img_at(imgs_u8, b))
                 pose_pred = pred_fn(b, pose, relative)
                 r = _track(pyr_last, pyr_cur, feat_px, feat_valid,
                            lm_world, pose_pred)
@@ -479,6 +497,8 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             packed_rows = []
             inls = []
             for b in range(B):
+                # pipe payloads arrive as a python tuple of per-frame
+                # images (raw array or DCT tuple) — plain indexing works
                 pyr_cur = _pyramid(imgs_u8[b])
                 if imu_cap:
                     dp, dq, dv, sdt = preintegrate_light(

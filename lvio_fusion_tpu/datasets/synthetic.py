@@ -120,7 +120,30 @@ def _render_all(cam_left, cam_right, poses, pwj, bj, H, W):
     return jax.vmap(pair)(poses)
 
 
-def make_sequence(num_frames=40, H=240, W=360, num_points=400, fps=10.0,
+def make_sequence(*args, **kwargs) -> Sequence:
+    """Synthetic stereo(/imu/lidar) sequence; see ``_make_sequence_impl``
+    for the knobs. All rendering runs pinned to the host CPU backend:
+    the sequence is host data, and fetching hundreds of MB of rendered
+    frames from a tunneled TPU both wastes its wire and permanently
+    degrades the relay's dispatch latency (any device->host fetch of a
+    computed result switches it into a ~ms-per-call slow mode — the
+    pipeline should enter that mode on its own terms, not during data
+    generation)."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        seq = _make_sequence_impl(*args, **kwargs)
+    # cameras leave as uncommitted numpy-leaved structs so downstream
+    # TPU programs are free to place them
+    seq.cam_left = jax.device_get(seq.cam_left)
+    seq.cam_right = jax.device_get(seq.cam_right)
+    if seq.lidar_extrinsic is not None:
+        seq.lidar_extrinsic = np.asarray(seq.lidar_extrinsic)
+    return seq
+
+
+def _make_sequence_impl(num_frames=40, H=240, W=360, num_points=400,
+                        fps=10.0,
                   speed=1.2, yaw_rate=0.02, seed=0, with_imu=False,
                   imu_rate=200.0, g_norm=9.81007, with_lidar=False,
                   lidar_rows=16, lidar_cols=360, ground_y=1.8,

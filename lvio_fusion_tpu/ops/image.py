@@ -72,6 +72,42 @@ def downsample2(img):
     return img[::2, ::2]
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _pyr_mats(H: int, W: int):
+    """Banded blur+downsample operators: (T @ img) @ S equals
+    downsample2(gaussian_blur5(img)) to fp rounding (same taps, same
+    zero-pad 'SAME' semantics). One level transition becomes two MXU
+    matmuls instead of ten strided VPU passes. Not the build_pyramid
+    default: in-batch pyramid compute is ~1 ms/frame (the 4 ms single
+    dispatch measurement was relay call tax), and the ~1e-7 output
+    differences butterfly keyframe cadence on marginal sequences."""
+    import numpy as np
+    taps = _GAUSS5
+    T = np.zeros((H // 2, H), np.float32)
+    S = np.zeros((W, W // 2), np.float32)
+    for k in range(5):
+        for i in range(H // 2):
+            r = 2 * i + k - 2
+            if 0 <= r < H:
+                T[i, r] += taps[k]
+        for j in range(W // 2):
+            c = 2 * j + k - 2
+            if 0 <= c < W:
+                S[c, j] += taps[k]
+    # numpy, NOT jnp: the cache outlives any jit trace this is first
+    # called under (a cached tracer would leak out of its trace)
+    return T, S
+
+
+def blur_downsample2(img):
+    """Fused 5-tap Gaussian blur + 2x decimation as banded matmuls."""
+    T, S = _pyr_mats(img.shape[0], img.shape[1])
+    return (jnp.asarray(T) @ img) @ jnp.asarray(S)
+
+
 def build_pyramid(img, levels: int = 4) -> List[jnp.ndarray]:
     """Gaussian pyramid, level 0 = full resolution. H, W must be divisible
     by 2^(levels-1) (callers pad KITTI frames up front)."""

@@ -1,0 +1,97 @@
+"""DCT-compressed upload path: codec fidelity + tracking impact."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvio_fusion_tpu.ops.dct import (
+    dct_grid, encode, make_decoder, payload_bytes,
+)
+
+
+def _blob_image(H, W, seed, shift=(0.0, 0.0), centers=()):
+    """Natural-ish grayscale test image: Gaussian blobs + gradient.
+    ``centers``: extra blobs at known positions (trackable texture)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = 40.0 + 0.05 * xx + 0.08 * yy
+    blobs = [(rng.uniform(20, W - 20), rng.uniform(20, H - 20),
+              rng.uniform(2.0, 6.0), rng.uniform(40, 150))
+             for _ in range(40)]
+    blobs += [(cx, cy, 2.5, 120.0) for cx, cy in centers]
+    for cx, cy, s, a in blobs:
+        img += a * np.exp(-(((xx - cx - shift[0]) ** 2)
+                            + ((yy - cy - shift[1]) ** 2)) / (2 * s * s))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def _roundtrip(img, K, quality):
+    H, W = img.shape
+    payload = encode(img, K, quality)
+    assert payload.dtype == np.int8 and payload.shape[1] == K + 2
+    dec = make_decoder(H, W, K, quality)
+    out = np.asarray(jax.jit(dec)(jnp.asarray(payload)))
+    # the fast XLA-CPU encoder matches numpy up to rounding-boundary
+    # flips of one quantization step (f32 accumulation order)
+    from lvio_fusion_tpu.ops.dct import make_encoder
+    fast = make_encoder(H, W, K, quality)(img)
+    d = np.abs(fast.astype(np.int32) - payload.astype(np.int32))
+    assert d.max() <= 1 and (d != 0).mean() < 0.005, \
+        (d.max(), (d != 0).mean())
+    return out
+
+
+def test_roundtrip_quality():
+    H, W = 120, 200
+    img = _blob_image(H, W, 0)
+    for K, quality, floor in ((16, 92, 34.0), (24, 92, 36.0),
+                              (64, 100, 42.0)):
+        out = _roundtrip(img, K, quality)
+        Hp, Wp, _ = dct_grid(H, W)
+        assert out.shape == (Hp, Wp)
+        p = _psnr(img, out[:H, :W])
+        assert p > floor, (K, quality, p)
+
+
+def test_payload_shrinks():
+    H, W = 376, 1241
+    raw = H * W
+    assert payload_bytes(H, W, K=16) < raw / 3
+    assert payload_bytes(H, W, K=24) < raw / 2
+
+
+def test_tracking_on_decoded_images():
+    """Bidirectional LK on decoded frames recovers a known sub-pixel
+    shift almost as well as on the originals."""
+    from lvio_fusion_tpu.ops.image import build_pyramid
+    from lvio_fusion_tpu.ops.lk import track_bidirectional
+
+    H, W = 128, 256
+    shift = (3.4, -2.2)
+    centers = [(60.0, 40.0), (120.0, 70.0), (200.0, 90.0), (90.0, 100.0)]
+    img0 = _blob_image(H, W, 3, centers=centers)
+    img1 = _blob_image(H, W, 3, shift=shift, centers=centers)
+
+    def pyr_of(u8):
+        return build_pyramid(jnp.asarray(u8, jnp.float32) / 255.0, 3)
+
+    def pyr_dct(u8):
+        return build_pyramid(
+            jnp.asarray(_roundtrip(u8, 16, 92), jnp.float32) / 255.0, 3)
+
+    pts = jnp.asarray(np.array(centers, np.float32))
+    p_raw, ok_raw = track_bidirectional(pyr_of(img0), pyr_of(img1), pts)
+    p_dct, ok_dct = track_bidirectional(pyr_dct(img0), pyr_dct(img1), pts)
+    sel = np.asarray(ok_raw & ok_dct)
+    assert sel.sum() >= 3
+    gt = np.asarray(pts) + np.asarray(shift, np.float32)
+    err_raw = np.linalg.norm(np.asarray(p_raw)[sel] - gt[sel], axis=1)
+    err_dct = np.linalg.norm(np.asarray(p_dct)[sel] - gt[sel], axis=1)
+    # decoded-image tracking stays sub-pixel and within 0.25 px of raw
+    assert err_dct.max() < 0.5, (err_raw, err_dct)
+    assert (err_dct - err_raw).max() < 0.25

@@ -113,3 +113,21 @@ class TestTriangulate:
         est, good = triangulate(T0, T1, uv0, uv1)
         assert bool(good.all())
         np.testing.assert_allclose(np.asarray(est), np.asarray(pw), atol=1e-2)
+
+
+class TestPyramidMatmul:
+    def test_matches_separable_reference(self):
+        """blur_downsample2's banded-matmul form is exactly the 5-tap
+        separable Gaussian + 2x decimation it replaces (the matmuls are
+        the MXU-native spelling; ops/image.py _pyr_mats)."""
+        import numpy as np
+
+        from lvio_fusion_tpu.ops.image import (
+            blur_downsample2, downsample2, gaussian_blur5,
+        )
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 1, (64, 96)).astype(np.float32))
+        ref = downsample2(gaussian_blur5(img))
+        got = blur_downsample2(img)
+        assert ref.shape == got.shape
+        assert float(jnp.abs(ref - got).max()) < 1e-6
