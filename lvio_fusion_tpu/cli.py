@@ -65,12 +65,24 @@ def _build_kitti(args):
     ds = KittiOdometry(args.root, args.sequence, with_lidar=args.lidar)
     probe = next(ds.frames(0, 1))
     H, W = probe.left.shape
+    if getattr(args, "small_shapes", False):
+        # CI/smoke shapes: identical program signatures to the test
+        # suite's canonical small config, so the persistent compile cache
+        # is shared and a fixture-sized run costs seconds, not minutes
+        shape_kw = dict(num_features=200, num_features_init=30,
+                        num_features_tracking_bad=10,
+                        num_features_needed_for_keyframe=80,
+                        window_kfs=6, landmark_slots=256, obs_slots=1024,
+                        po_slots=512, ba_iters=5, cell=24, occupy_radius=10)
+    else:
+        shape_kw = dict(num_features=400, window_kfs=8, landmark_slots=512,
+                        obs_slots=2048, po_slots=1024)
     cfg = EstimatorConfig(
-        height=H, width=W, num_features=400,
+        height=H, width=W,
         use_lidar=args.lidar and ds.lidar_extrinsic is not None,
         frame_batch=getattr(args, "batch", 1),
         pipelined_flush=getattr(args, "pipelined", False),
-        window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024)
+        **shape_kw)
     est = Estimator(ds.cam_left, ds.cam_right, cfg,
                     lidar_extrinsic=ds.lidar_extrinsic)
 
@@ -358,6 +370,9 @@ def main(argv=None):
                    help="dump tracking-feature overlay PNGs here (the "
                         "reference's live imshow view, offline)")
     r.add_argument("--overlay-every", type=int, default=10)
+    r.add_argument("--small-shapes", action="store_true",
+                   help="small fixed-capacity tables (CI/smoke runs; "
+                        "shares the test suite's compiled programs)")
     r.set_defaults(fn=cmd_run)
 
     t = sub.add_parser("train-rl", help="train the TD3 weight policy")
