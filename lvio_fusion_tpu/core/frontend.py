@@ -127,9 +127,11 @@ def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return se3_boxplus(pose, dx)
 
-    pose = pose0
-    for _ in range(iters):
-        pose = gn_step(pose, w)
+    # fori_loop, not an unrolled python loop: the GN body (jacfwd included)
+    # is traced and compiled ONCE — the unrolled form multiplied trace and
+    # compile time of every frame program by ``iters`` for zero runtime
+    # benefit (the iterations are strictly sequential on TPU anyway)
+    pose = jax.lax.fori_loop(0, iters, lambda _, p: gn_step(p, w), pose0)
     # final inlier classification
     pred = jax.vmap(lambda p: cam.world2pixel(p, pose))(lm_world)
     err = jnp.linalg.norm(pred - obs_px, axis=-1)
@@ -162,11 +164,6 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     if dct_k:
         from lvio_fusion_tpu.ops.dct import make_decoder
         _dct_decode = make_decoder(H, W, dct_k, dct_quality)
-
-    def _img_at(imgs, b):
-        """Frame b of a stacked image payload (u8 images or (B, nb, K+2)
-        DCT payloads index the same way)."""
-        return imgs[b]
 
     def _pyramid(img):
         if dct_k:
@@ -371,40 +368,53 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             predict_from_delta, preintegrate_light,
         )
 
-        def _body(imgs_u8, img_right_u8, pyr_last, feat_px, feat_valid,
-                  lm_world, pose, relative, pred_fn):
-            """Shared B-frame loop; ``pred_fn(b, pose, relative) ->
-            (pose_pred, vel')`` supplies the per-frame warp seed."""
-            packed_rows = []
-            for b in range(B):
-                pyr_cur = _pyramid(_img_at(imgs_u8, b))
-                pose_pred = pred_fn(b, pose, relative)
+        def _body(imgs_u8, xs_extra, img_right_u8, pyr_last, feat_px,
+                  feat_valid, lm_world, pose, relative, vel0, pred_fn):
+            """Shared B-frame loop as ONE ``lax.scan``: the per-frame body
+            (pyramid + LK + pose refine) is traced and compiled once
+            instead of B times — the unrolled form cost minutes of remote
+            TPU compile at frame_batch 12 and ~1 min of XLA:CPU compile
+            per test signature, while execution on TPU is strictly
+            sequential either way (one program, no concurrent kernels).
+            ``pred_fn(extra, pose, relative, vel) -> (pose_pred, vel')``
+            supplies the per-frame warp seed from the scanned ``extra``."""
+
+            def body(carry, x):
+                pyr_last, feat_px, feat_valid, pose, relative, vel = carry
+                img, extra = x
+                pyr_cur = _pyramid(img)
+                pose_pred, vel = pred_fn(extra, pose, relative, vel)
                 r = _track(pyr_last, pyr_cur, feat_px, feat_valid,
                            lm_world, pose_pred)
                 relative = se3_mul(se3_inv(pose), r.pose)
-                pose = r.pose
-                feat_px, feat_valid = r.pts, r.ok
-                packed_rows.append(jnp.concatenate([
+                packed = jnp.concatenate([
                     r.pts.reshape(-1), r.ok.astype(jnp.float32), r.pose,
-                    r.num_inliers.astype(jnp.float32)[None]]))
-                pyr_last = pyr_cur
+                    r.num_inliers.astype(jnp.float32)[None]])
+                return (pyr_cur, r.pts, r.ok, r.pose, relative, vel), packed
+
+            carry, packed_rows = jax.lax.scan(
+                body, (pyr_last, feat_px, feat_valid, pose, relative, vel0),
+                (imgs_u8, xs_extra))
+            pyr_last, feat_px, feat_valid, pose, relative, vel = carry
             pyr_right = _pyramid(img_right_u8)
             kf, pb_tri, desc, desc_ok = _make_keyframe(
                 pyr_last, pyr_right, feat_px, feat_valid, pose)
             kf_packed = _pack_keyframe(kf, pb_tri, desc, desc_ok)
             return (pyr_last, feat_px, feat_valid, pose, relative,
-                    jnp.stack(packed_rows), kf_packed)
+                    packed_rows, kf_packed, vel)
 
         if imu_cap == 0:
             @jax.jit
             def batch_kf_step(imgs_u8, img_right_u8, pyr_last, feat_px,
                               feat_valid, lm_world, pose, relative,
                               ext_preds, use_ext):
-                def pred(b, pose, relative):
-                    return jnp.where(use_ext[b], ext_preds[b],
-                                     se3_mul(pose, relative))
-                return _body(imgs_u8, img_right_u8, pyr_last, feat_px,
-                             feat_valid, lm_world, pose, relative, pred)
+                def pred(extra, pose, relative, vel):
+                    ep, ue = extra
+                    return jnp.where(ue, ep, se3_mul(pose, relative)), vel
+                z3 = jnp.zeros(3, jnp.float32)
+                return _body(imgs_u8, (ext_preds, use_ext), img_right_u8,
+                             pyr_last, feat_px, feat_valid, lm_world, pose,
+                             relative, z3, pred)[:-1]
         else:
             # IMU-seeded variant: per-frame raw sample windows ride along
             # in the SAME dispatch; a light (no-covariance) preintegration
@@ -415,21 +425,18 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                               feat_valid, lm_world, pose, relative,
                               imu_acc, imu_gyr, imu_dt, imu_on, vel0,
                               bias):
-                vel_box = [vel0]
-
-                def pred(b, pose, relative):
+                def pred(extra, pose, relative, vel):
+                    acc, gyr, dt, on = extra
                     dp, dq, dv, sdt = preintegrate_light(
-                        imu_acc[b], imu_gyr[b], imu_dt[b],
-                        bias[:3], bias[3:])
-                    pp, pv = predict_from_delta(pose, vel_box[0], dp, dq,
+                        acc, gyr, dt, bias[:3], bias[3:])
+                    pp, pv = predict_from_delta(pose, vel, dp, dq,
                                                 dv, sdt, g_norm)
-                    vel_box[0] = jnp.where(imu_on[b], pv, vel_box[0])
-                    return jnp.where(imu_on[b], pp,
-                                     se3_mul(pose, relative))
+                    return (jnp.where(on, pp, se3_mul(pose, relative)),
+                            jnp.where(on, pv, vel))
 
-                out = _body(imgs_u8, img_right_u8, pyr_last, feat_px,
-                            feat_valid, lm_world, pose, relative, pred)
-                return out + (vel_box[0],)
+                return _body(imgs_u8, (imu_acc, imu_gyr, imu_dt, imu_on),
+                             img_right_u8, pyr_last, feat_px, feat_valid,
+                             lm_world, pose, relative, vel0, pred)
 
         _batch_steps[key] = batch_kf_step
         return batch_kf_step
@@ -493,34 +500,43 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             feat_valid = feat_valid & ~((kill_gen == feat_gen)
                                         & (kill_gen >= 0))
 
-            # ---- track B frames ----
-            packed_rows = []
-            inls = []
-            for b in range(B):
-                # pipe payloads arrive as a python tuple of per-frame
-                # images (raw array or DCT tuple) — plain indexing works
-                pyr_cur = _pyramid(imgs_u8[b])
+            # ---- track B frames (ONE lax.scan — see _body above) ----
+            # pipe payloads arrive as a python tuple of per-frame images
+            # (pre-staged device arrays); stacking them INSIDE the program
+            # is an on-device copy, not a host transfer
+            imgs = jnp.stack(list(imgs_u8))
+            if imu_cap:
+                xs = (imgs, imu_acc, imu_gyr, imu_dt, imu_on)
+            else:
+                xs = (imgs,)
+
+            def body(carry, x):
+                pyr_last, feat_px, feat_valid, pose, relative, vel = carry
+                img = x[0]
+                pyr_cur = _pyramid(img)
                 if imu_cap:
+                    acc, gyr, dt, on = x[1:]
                     dp, dq, dv, sdt = preintegrate_light(
-                        imu_acc[b], imu_gyr[b], imu_dt[b],
-                        bias[:3], bias[3:])
+                        acc, gyr, dt, bias[:3], bias[3:])
                     pp, pv = predict_from_delta(pose, vel, dp, dq, dv,
                                                 sdt, g_norm)
-                    vel = jnp.where(imu_on[b], pv, vel)
-                    pose_pred = jnp.where(imu_on[b], pp,
-                                          se3_mul(pose, relative))
+                    vel = jnp.where(on, pv, vel)
+                    pose_pred = jnp.where(on, pp, se3_mul(pose, relative))
                 else:
                     pose_pred = se3_mul(pose, relative)
                 r = _track(pyr_last, pyr_cur, feat_px, feat_valid,
                            lm_world, pose_pred)
                 relative = se3_mul(se3_inv(pose), r.pose)
-                pose = r.pose
-                feat_px, feat_valid = r.pts, r.ok
-                packed_rows.append(jnp.concatenate([
+                packed = jnp.concatenate([
                     r.pts.reshape(-1), r.ok.astype(jnp.float32), r.pose,
-                    r.num_inliers.astype(jnp.float32)[None]]))
-                inls.append(r.num_inliers)
-                pyr_last = pyr_cur
+                    r.num_inliers.astype(jnp.float32)[None]])
+                return ((pyr_cur, r.pts, r.ok, r.pose, relative, vel),
+                        (packed, r.num_inliers))
+
+            carry, (packed_rows, inls) = jax.lax.scan(
+                body, (pyr_last, feat_px, feat_valid, pose, relative, vel),
+                xs)
+            pyr_last, feat_px, feat_valid, pose, relative, vel = carry
 
             # ---- speculative keyframe stage on the final frame ----
             pyr_right = _pyramid(img_right_u8)
@@ -529,7 +545,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             kf_packed = _pack_keyframe(kf, pb_tri, desc, desc_ok)
 
             # ---- device-side keyframe decision + feature merge ----
-            min_inl = jnp.min(jnp.stack(inls))
+            min_inl = jnp.min(inls)
             t_since_kf = t_since_kf + jnp.sum(frame_dts)
             need_kf = (min_inl < kf_thresh) \
                 | (t_since_kf >= max_kf_interval)
@@ -560,7 +576,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                            min_inl.astype(jnp.float32),
                            inls[-1].astype(jnp.float32), t_since_kf])])
             return (pyr_last, feat_px, feat_valid, feat_gen, lm_world,
-                    pose, relative, vel, t_since_kf, jnp.stack(packed_rows),
+                    pose, relative, vel, t_since_kf, packed_rows,
                     kf_packed, extras)
 
         _pipe_steps[key] = pipe_step
