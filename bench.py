@@ -44,13 +44,16 @@ def main():
     dct_q = int(os.environ.get("BENCH_DCTQ", 100))  # same payload bytes
     # at any quality; q=100 turns the per-block scale into an adaptive
     # uniform quantizer (best measured tracking fidelity)
+    dct_bits = int(os.environ.get("BENCH_DCT_BITS", 8))  # 4: nibble-pack
+    # the AC coefficients (~40% fewer upload bytes, ~9 dB decode give-
+    # back; flip the default only after an on-chip A/B shows a win)
     cfg = EstimatorConfig(
         height=H, width=W, num_features=400, num_features_init=50,
         num_features_tracking_bad=20, num_features_needed_for_keyframe=120,
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
         ba_iters=5, frame_batch=batch,
         pipelined_flush=pipelined and batch > 1, dct_k=dct_k,
-        dct_quality=dct_q)
+        dct_quality=dct_q, dct_bits=dct_bits)
 
     # warmup on the SAME estimator (each Estimator instance creates fresh
     # jit closures, so a second instance would recompile everything);
@@ -87,7 +90,8 @@ def main():
              for name, s in snap.items()}  # ms per FRAME, not per call
     stats["kf_per_frame"] = round(
         (est.map.num_kfs - kfs_warm) / max(n_timed, 1), 3)
-    stats["upload"] = f"dct{dct_k}q{cfg.dct_quality}" if dct_k else "u8"
+    stats["upload"] = (f"dct{dct_k}q{cfg.dct_quality}b{dct_bits}"
+                       if dct_k else "u8")
     if os.environ.get("BENCH_STATS"):
         import sys
 

@@ -134,6 +134,9 @@ class EstimatorConfig:
     # quality 92 tracks within hundredths of a pixel of raw uint8
     # (tests/test_dct.py).
     dct_quality: int = 92  # JPEG-style quantization quality for dct_k
+    dct_bits: int = 8  # 4: nibble-pack the AC coefficients two per byte
+    # (the per-block scale absorbs the coarser range) — ~40% fewer
+    # upload bytes again on top of dct_k, slightly noisier decode
 
 
 class Estimator:
@@ -151,7 +154,7 @@ class Estimator:
             occupy_radius=c.occupy_radius,
             remove_moving=c.remove_moving_points, moving_px=c.moving_px,
             equalize=c.equalize_hist, dct_k=c.dct_k,
-            dct_quality=c.dct_quality)
+            dct_quality=c.dct_quality, dct_bits=c.dct_bits)
         self._dct = None
         self._enc_pool = None
         if c.dct_k:
@@ -159,7 +162,7 @@ class Estimator:
 
             from lvio_fusion_tpu.ops.dct import make_encoder
             self._dct = make_encoder(c.height, c.width, c.dct_k,
-                                     c.dct_quality)
+                                     c.dct_quality, c.dct_bits)
             # per-frame encodes overlap each other at buffering time (the
             # jitted CPU program releases the GIL); the flush gathers
             self._enc_pool = ThreadPoolExecutor(max_workers=4)

@@ -146,7 +146,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                   occupy_radius: int = 15, lk_iters: int = 6,
                   remove_moving: bool = True, moving_px: float = 30.0,
                   equalize: bool = False, dct_k: int = 0,
-                  dct_quality: int = 92):
+                  dct_quality: int = 92, dct_bits: int = 8):
     """Build the jitted frontend stage functions for a fixed image size.
 
     The per-frame path (pyramid build + LK + pose refine) is ONE jitted
@@ -163,7 +163,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     pad_mult = 2 ** (levels - 1)
     if dct_k:
         from lvio_fusion_tpu.ops.dct import make_decoder
-        _dct_decode = make_decoder(H, W, dct_k, dct_quality)
+        _dct_decode = make_decoder(H, W, dct_k, dct_quality, dct_bits)
 
     def _pyramid(img):
         if dct_k:

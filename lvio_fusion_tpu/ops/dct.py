@@ -94,11 +94,14 @@ def pack_payload(dc, ac, sc) -> np.ndarray:
     return out
 
 
-def encode(img_u8: np.ndarray, K: int = 16, quality: int = 92):
-    """Host-side encode of a uint8 image -> (nb, K+2) int8 payload.
-    Pads H/W to 8-multiples with edge values (the decoded image comes
-    back at the padded shape, matching the pyramid padding the frame
-    programs apply anyway)."""
+def encode(img_u8: np.ndarray, K: int = 16, quality: int = 92,
+           bits: int = 8):
+    """Host-side encode of a uint8 image -> (nb, 2 + ac_bytes + 1) int8
+    payload. Pads H/W to 8-multiples with edge values (the decoded image
+    comes back at the padded shape, matching the pyramid padding the
+    frame programs apply anyway). ``bits`` = 4 nibble-packs the AC
+    coefficients two per byte (the per-block scale absorbs the coarser
+    range) — ~40% fewer upload bytes for a slightly noisier decode."""
     H, W = img_u8.shape
     Hp, Wp, _ = dct_grid(H, W)
     img = np.asarray(img_u8, np.float32)
@@ -112,20 +115,39 @@ def encode(img_u8: np.ndarray, K: int = 16, quality: int = 92):
     qz = zz / _qvec(quality)[:K]
     dc = np.clip(np.rint(qz[:, 0]), -32768, 32767).astype(np.int16)
     # per-block AC scale: smallest integer that brings every kept AC
-    # coefficient into int8 range (1 almost everywhere)
+    # coefficient into range (1 almost everywhere at 8 bits)
+    lim = 127.0 if bits == 8 else 7.0
     peak = np.abs(qz[:, 1:]).max(axis=1) if K > 1 \
         else np.zeros(len(qz), np.float32)
-    sc = np.clip(np.ceil(peak / 127.0), 1, 255).astype(np.uint8)
-    ac = np.clip(np.rint(qz[:, 1:] / sc[:, None]),
-                 -127, 127).astype(np.int8)
-    return pack_payload(dc, ac, sc)
+    sc = np.clip(np.ceil(peak / lim), 1, 255).astype(np.uint8)
+    ac = np.clip(np.rint(qz[:, 1:] / sc[:, None]), -lim, lim)
+    if bits == 4:
+        ac = _nibble_pack(ac.astype(np.int8))
+    return pack_payload(dc, ac.astype(np.int8), sc)
 
 
-def make_decoder(H: int, W: int, K: int = 16, quality: int = 92):
-    """Build the jit-traceable decoder: (nb, K+2) int8 payload ->
-    (Hp, Wp) f32 image in [0, 255]. Meant to be CALLED INSIDE an
-    existing jitted program (the frame step) so decoding adds zero
-    dispatches."""
+def _nibble_pack(ac: np.ndarray) -> np.ndarray:
+    """(nb, K-1) int4-valued int8 -> (nb, ceil((K-1)/2)) packed bytes."""
+    nb, n = ac.shape
+    if n % 2:
+        ac = np.concatenate([ac, np.zeros((nb, 1), np.int8)], axis=1)
+    lo = ac[:, 0::2].astype(np.uint8) & 0xF
+    hi = ac[:, 1::2].astype(np.uint8) & 0xF
+    return ((hi << 4) | lo).astype(np.int8)
+
+
+def ac_bytes(K: int, bits: int = 8) -> int:
+    """Payload bytes holding the K-1 AC coefficients."""
+    return (K - 1) if bits == 8 else (K - 1 + 1) // 2
+
+
+def make_decoder(H: int, W: int, K: int = 16, quality: int = 92,
+                 bits: int = 8):
+    """Build the jit-traceable decoder: (nb, 2 + ac_bytes + 1) int8
+    payload -> (Hp, Wp) f32 image in [0, 255]. Meant to be CALLED INSIDE
+    an existing jitted program (the frame step) so decoding adds zero
+    dispatches. ``bits`` = 4 reads nibble-packed AC coefficients (two per
+    byte, see ``encode``'s int4 mode)."""
     Hp, Wp, nb = dct_grid(H, W)
     qv = jnp.asarray(_qvec(quality)[:K])
     # inverse zigzag: where each of the K kept coeffs lands in the 8x8
@@ -139,11 +161,24 @@ def make_decoder(H: int, W: int, K: int = 16, quality: int = 92):
         v = col.astype(jnp.int32)
         return jnp.where(v < 0, v + 256, v)
 
+    nac = ac_bytes(K, bits)
+
     def decode(payload):
         p = payload.astype(jnp.int32)
         dc = p[:, 1] * 256 + _u8(payload[:, 0])     # signed hi, unsigned lo
-        ac = p[:, 2:K + 1].astype(jnp.float32)
-        s = _u8(payload[:, K + 1]).astype(jnp.float32)[:, None]
+        if bits == 8:
+            ac = p[:, 2:K + 1].astype(jnp.float32)
+        else:
+            # nibble-packed: byte j holds AC 2j (lo) and 2j+1 (hi),
+            # each a signed 4-bit value in [-8, 7]
+            by = _u8(payload[:, 2:2 + nac])
+            lo = by & 0xF
+            hi = (by >> 4) & 0xF
+            lo = lo - 16 * (lo >= 8)
+            hi = hi - 16 * (hi >= 8)
+            ac = jnp.stack([lo, hi], axis=-1).reshape(
+                payload.shape[0], 2 * nac)[:, :K - 1].astype(jnp.float32)
+        s = _u8(payload[:, 2 + nac]).astype(jnp.float32)[:, None]
         zz = jnp.concatenate(
             [dc.astype(jnp.float32)[:, None], ac * s], axis=1) * qv
         flat = zz @ scatter_j                       # (nb, 64) row-major
@@ -156,14 +191,14 @@ def make_decoder(H: int, W: int, K: int = 16, quality: int = 92):
     return decode
 
 
-def payload_bytes(H: int, W: int, K: int = 16) -> int:
-    """Upload bytes per frame at this (H, W, K)."""
+def payload_bytes(H: int, W: int, K: int = 16, bits: int = 8) -> int:
+    """Upload bytes per frame at this (H, W, K, bits)."""
     _, _, nb = dct_grid(H, W)
-    return nb * (2 + (K - 1) + 1)
+    return nb * (2 + ac_bytes(K, bits) + 1)
 
 
 @lru_cache(maxsize=None)
-def _cpu_encode_fn(Hp: int, Wp: int, K: int, quality: int):
+def _cpu_encode_fn(Hp: int, Wp: int, K: int, quality: int, bits: int = 8):
     """Jitted XLA-CPU encode program (the pure-numpy ``encode`` costs
     ~20 ms per KITTI frame; the jitted program ~6 ms, and it releases
     the GIL so a small thread pool overlaps the per-frame encodes)."""
@@ -172,6 +207,7 @@ def _cpu_encode_fn(Hp: int, Wp: int, K: int, quality: int):
     qv = jnp.asarray(_qvec(quality)[:K])
     Dj = jnp.asarray(_D8)
     zz_idx = jnp.asarray(_ZIGZAG[:K])
+    lim = 127.0 if bits == 8 else 7.0
 
     def _i8(v):
         """int8 with two's-complement wrap of a [0, 255] int32 value."""
@@ -185,24 +221,35 @@ def _cpu_encode_fn(Hp: int, Wp: int, K: int, quality: int):
         zzc = coef.reshape(-1, 64)[:, zz_idx] / qv
         dci = jnp.clip(jnp.rint(zzc[:, 0]), -32768, 32767).astype(jnp.int32)
         peak = jnp.max(jnp.abs(zzc[:, 1:]), axis=1)
-        sci = jnp.clip(jnp.ceil(peak / 127.0), 1, 255).astype(jnp.int32)
+        sci = jnp.clip(jnp.ceil(peak / lim), 1, 255).astype(jnp.int32)
         ac = jnp.clip(jnp.rint(zzc[:, 1:] / sci[:, None].astype(jnp.float32)),
-                      -127, 127).astype(jnp.int8)
+                      -lim, lim).astype(jnp.int32)
+        if bits == 4:
+            n = K - 1
+            if n % 2:
+                ac = jnp.concatenate(
+                    [ac, jnp.zeros((ac.shape[0], 1), jnp.int32)], axis=1)
+            acl = ac[:, 0::2] & 0xF
+            ach = ac[:, 1::2] & 0xF
+            ac_b = _i8((ach << 4) | acl)
+        else:
+            ac_b = ac.astype(jnp.int8)
         lo = _i8(dci & 0xFF)
         hi = _i8((dci >> 8) & 0xFF)
         return jnp.concatenate(
-            [lo[:, None], hi[:, None], ac, _i8(sci)[:, None]], axis=1)
+            [lo[:, None], hi[:, None], ac_b, _i8(sci)[:, None]], axis=1)
 
     cpu = jax.devices("cpu")[0]
     return jax.jit(enc, device=cpu)
 
 
-def make_encoder(H: int, W: int, K: int = 16, quality: int = 92):
-    """Fast host-side encoder: fn(u8 (H, W)) -> (nb, K+2) int8 payload.
-    Bit-identical to :func:`encode` (same math, f32) but runs as one
-    jitted XLA-CPU program."""
+def make_encoder(H: int, W: int, K: int = 16, quality: int = 92,
+                 bits: int = 8):
+    """Fast host-side encoder: fn(u8 (H, W)) -> (nb, 2+ac_bytes+1) int8
+    payload. Bit-identical to :func:`encode` (same math, f32) but runs
+    as one jitted XLA-CPU program."""
     Hp, Wp, _ = dct_grid(H, W)
-    fn = _cpu_encode_fn(Hp, Wp, K, quality)
+    fn = _cpu_encode_fn(Hp, Wp, K, quality, bits)
 
     def encode_fast(img_u8):
         img = np.asarray(img_u8)

@@ -30,19 +30,26 @@ def _psnr(a, b):
     return 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
 
 
-def _roundtrip(img, K, quality):
+def _roundtrip(img, K, quality, bits=8):
+    from lvio_fusion_tpu.ops.dct import ac_bytes
     H, W = img.shape
-    payload = encode(img, K, quality)
-    assert payload.dtype == np.int8 and payload.shape[1] == K + 2
-    dec = make_decoder(H, W, K, quality)
+    payload = encode(img, K, quality, bits)
+    assert payload.dtype == np.int8 \
+        and payload.shape[1] == 2 + ac_bytes(K, bits) + 1
+    dec = make_decoder(H, W, K, quality, bits)
     out = np.asarray(jax.jit(dec)(jnp.asarray(payload)))
     # the fast XLA-CPU encoder matches numpy up to rounding-boundary
     # flips of one quantization step (f32 accumulation order)
     from lvio_fusion_tpu.ops.dct import make_encoder
-    fast = make_encoder(H, W, K, quality)(img)
-    d = np.abs(fast.astype(np.int32) - payload.astype(np.int32))
-    assert d.max() <= 1 and (d != 0).mean() < 0.005, \
-        (d.max(), (d != 0).mean())
+    fast = make_encoder(H, W, K, quality, bits)(img)
+    if bits == 8:
+        d = np.abs(fast.astype(np.int32) - payload.astype(np.int32))
+        assert d.max() <= 1 and (d != 0).mean() < 0.005, \
+            (d.max(), (d != 0).mean())
+    else:
+        # nibble-packed bytes differ whole-byte on a one-step flip of
+        # either nibble; just require near-identity
+        assert (fast != payload).mean() < 0.01
     return out
 
 
@@ -63,6 +70,23 @@ def test_payload_shrinks():
     raw = H * W
     assert payload_bytes(H, W, K=16) < raw / 3
     assert payload_bytes(H, W, K=24) < raw / 2
+    # int4 AC packing: ~40% fewer bytes again
+    assert payload_bytes(H, W, K=16, bits=4) < raw / 5.5
+
+
+def test_int4_roundtrip_quality():
+    """Nibble-packed ACs trade ~2-4 dB for ~40% fewer bytes; tracking
+    texture must survive (PSNR still comfortably above the ~28 dB where
+    LK starts to smear)."""
+    H, W = 120, 200
+    img = _blob_image(H, W, 0)
+    out8 = _roundtrip(img, 16, 92, bits=8)
+    out4 = _roundtrip(img, 16, 92, bits=4)
+    p8 = _psnr(img, out8[:H, :W])
+    p4 = _psnr(img, out4[:H, :W])
+    # measured: ~43 dB int4 vs ~52 dB int8 on the blob scene — the 9 dB
+    # giveback leaves decode quality far above what sub-pixel LK needs
+    assert p4 > 35.0, (p8, p4)
 
 
 def test_tracking_on_decoded_images():
@@ -80,18 +104,21 @@ def test_tracking_on_decoded_images():
     def pyr_of(u8):
         return build_pyramid(jnp.asarray(u8, jnp.float32) / 255.0, 3)
 
-    def pyr_dct(u8):
+    def pyr_dct(u8, bits):
         return build_pyramid(
-            jnp.asarray(_roundtrip(u8, 16, 92), jnp.float32) / 255.0, 3)
+            jnp.asarray(_roundtrip(u8, 16, 92, bits), jnp.float32) / 255.0,
+            3)
 
     pts = jnp.asarray(np.array(centers, np.float32))
     p_raw, ok_raw = track_bidirectional(pyr_of(img0), pyr_of(img1), pts)
-    p_dct, ok_dct = track_bidirectional(pyr_dct(img0), pyr_dct(img1), pts)
-    sel = np.asarray(ok_raw & ok_dct)
-    assert sel.sum() >= 3
     gt = np.asarray(pts) + np.asarray(shift, np.float32)
-    err_raw = np.linalg.norm(np.asarray(p_raw)[sel] - gt[sel], axis=1)
-    err_dct = np.linalg.norm(np.asarray(p_dct)[sel] - gt[sel], axis=1)
-    # decoded-image tracking stays sub-pixel and within 0.25 px of raw
-    assert err_dct.max() < 0.5, (err_raw, err_dct)
-    assert (err_dct - err_raw).max() < 0.25
+    for bits in (8, 4):
+        p_dct, ok_dct = track_bidirectional(
+            pyr_dct(img0, bits), pyr_dct(img1, bits), pts)
+        sel = np.asarray(ok_raw & ok_dct)
+        assert sel.sum() >= 3
+        err_raw = np.linalg.norm(np.asarray(p_raw)[sel] - gt[sel], axis=1)
+        err_dct = np.linalg.norm(np.asarray(p_dct)[sel] - gt[sel], axis=1)
+        # decoded-image tracking stays sub-pixel and within 0.25 px of raw
+        assert err_dct.max() < 0.5, (bits, err_raw, err_dct)
+        assert (err_dct - err_raw).max() < 0.25, bits
