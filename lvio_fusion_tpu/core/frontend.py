@@ -99,8 +99,14 @@ class FrontendFns(NamedTuple):
 
 
 def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
-                     huber_px: float = 3.0, reject_px: float = 8.0):
-    """Small dense GN on the 6-dof pose from fixed world landmarks."""
+                     huber_px: float = 3.0, reject_px: float = 8.0,
+                     axis_name: str = None):
+    """Small dense GN on the 6-dof pose from fixed world landmarks.
+
+    With ``axis_name`` (inside a shard_map over the feature axis) the
+    6x6 normal equations are psum-reduced across devices, so each shard
+    contributes only its features and every device solves the identical
+    replicated system (parallel/sharded_frontend.py)."""
     w = ok.astype(pose0.dtype)
     # sanitize masked rows: their world points may be garbage (0,0,0)
     safe = jnp.array([0.0, 0.0, 10.0], dtype=pose0.dtype)
@@ -122,8 +128,13 @@ def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
         weights = base_w * jnp.sqrt(jnp.minimum(1.0, huber_px / n))
         r = residual(z, pose, weights)
         J = jax.jacfwd(residual)(z, pose, weights)
-        H = J.T @ J + 1e-4 * jnp.eye(6, dtype=pose.dtype)
-        dx = jnp.linalg.solve(H, -J.T @ r)
+        H = J.T @ J
+        b = J.T @ r
+        if axis_name is not None:
+            H = jax.lax.psum(H, axis_name)
+            b = jax.lax.psum(b, axis_name)
+        H = H + 1e-4 * jnp.eye(6, dtype=pose.dtype)
+        dx = jnp.linalg.solve(H, -b)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return se3_boxplus(pose, dx)
 
