@@ -120,6 +120,9 @@ def _render_all(cam_left, cam_right, poses, pwj, bj, H, W):
     return jax.vmap(pair)(poses)
 
 
+_SEQ_CACHE = {}
+
+
 def make_sequence(*args, **kwargs) -> Sequence:
     """Synthetic stereo(/imu/lidar) sequence; see ``_make_sequence_impl``
     for the knobs. All rendering runs pinned to the host CPU backend:
@@ -128,7 +131,18 @@ def make_sequence(*args, **kwargs) -> Sequence:
     degrades the relay's dispatch latency (any device->host fetch of a
     computed result switches it into a ~ms-per-call slow mode — the
     pipeline should enter that mode on its own terms, not during data
-    generation)."""
+    generation).
+
+    Memoized per (args, kwargs): the generator is deterministic, several
+    test/bench entry points ask for the identical sequence, and a render
+    costs ~7 s of the single host core. Treat the result as read-only."""
+    key = (args, tuple(sorted(kwargs.items())))
+    try:
+        if key in _SEQ_CACHE:
+            return _SEQ_CACHE[key]
+        cacheable = True
+    except TypeError:  # unhashable custom arg
+        cacheable = False
     import jax
 
     with jax.default_device(jax.devices("cpu")[0]):
@@ -139,6 +153,8 @@ def make_sequence(*args, **kwargs) -> Sequence:
     seq.cam_right = jax.device_get(seq.cam_right)
     if seq.lidar_extrinsic is not None:
         seq.lidar_extrinsic = np.asarray(seq.lidar_extrinsic)
+    if cacheable:
+        _SEQ_CACHE[key] = seq
     return seq
 
 
