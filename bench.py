@@ -47,13 +47,16 @@ def main():
     dct_bits = int(os.environ.get("BENCH_DCT_BITS", 8))  # 4: nibble-pack
     # the AC coefficients (~40% fewer upload bytes, ~9 dB decode give-
     # back; flip the default only after an on-chip A/B shows a win)
+    pallas_lk = os.environ.get("BENCH_PALLAS_LK", "0") == "1"  # route LK
+    # through the Pallas kernel (ops/pallas/lk.py); A/B knob for on-chip
+    # sessions, default stays the r3-proven XLA block-fetch path
     cfg = EstimatorConfig(
         height=H, width=W, num_features=400, num_features_init=50,
         num_features_tracking_bad=20, num_features_needed_for_keyframe=120,
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
         ba_iters=5, frame_batch=batch,
         pipelined_flush=pipelined and batch > 1, dct_k=dct_k,
-        dct_quality=dct_q, dct_bits=dct_bits)
+        dct_quality=dct_q, dct_bits=dct_bits, pallas_lk=pallas_lk)
 
     # warmup on the SAME estimator (each Estimator instance creates fresh
     # jit closures, so a second instance would recompile everything);

@@ -137,6 +137,10 @@ class EstimatorConfig:
     dct_bits: int = 8  # 4: nibble-pack the AC coefficients two per byte
     # (the per-block scale absorbs the coarser range) — ~40% fewer
     # upload bytes again on top of dct_k, slightly noisier decode
+    pallas_lk: bool = False  # route per-level LK through the Pallas
+    # kernel (ops/pallas/lk.py: VMEM-resident images, no HBM gathers).
+    # Off by default until an on-chip A/B vs the XLA block-fetch path
+    # lands (tracked r4); exactness-tested in tests/test_pallas_lk.py
 
 
 class Estimator:
@@ -154,7 +158,8 @@ class Estimator:
             occupy_radius=c.occupy_radius,
             remove_moving=c.remove_moving_points, moving_px=c.moving_px,
             equalize=c.equalize_hist, dct_k=c.dct_k,
-            dct_quality=c.dct_quality, dct_bits=c.dct_bits)
+            dct_quality=c.dct_quality, dct_bits=c.dct_bits,
+            pallas_lk=c.pallas_lk)
         self._dct = None
         self._enc_pool = None
         if c.dct_k:

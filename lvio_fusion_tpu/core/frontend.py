@@ -157,7 +157,8 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                   occupy_radius: int = 15, lk_iters: int = 6,
                   remove_moving: bool = True, moving_px: float = 30.0,
                   equalize: bool = False, dct_k: int = 0,
-                  dct_quality: int = 92, dct_bits: int = 8):
+                  dct_quality: int = 92, dct_bits: int = 8,
+                  pallas_lk: bool = False):
     """Build the jitted frontend stage functions for a fixed image size.
 
     The per-frame path (pyramid build + LK + pose refine) is ONE jitted
@@ -210,7 +211,8 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         wild = jnp.linalg.norm(seed - feat_px, axis=-1) > 100.0
         seed = jnp.where(wild[:, None], feat_px, seed)
         pts, ok = track_bidirectional(pyr_last, pyr_cur, feat_px, seed,
-                                      win=win, iters=lk_iters)
+                                      win=win, iters=lk_iters,
+                                      use_pallas=pallas_lk)
         ok = ok & feat_valid
         if remove_moving:
             # moving-point rejection (frontend.cpp:195-230): deviation =
@@ -295,7 +297,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         pb = jax.vmap(lambda p: cam_left.pixel2robot(p, max_depth))(new_px)
         seed = jax.vmap(cam_right.robot2pixel)(pb)
         right_px, ok = track_bidirectional(pyr_left, pyr_right, new_px, seed,
-                                           win=win)
+                                           win=win, use_pallas=pallas_lk)
 
         uv_l = pixel_to_norm(new_px, cam_left.fx, cam_left.fy, cam_left.cx,
                              cam_left.cy)

@@ -124,7 +124,28 @@ def _lk_level_pt(img0, img1, p0, p1_init, win: int, iters: int):
     return l_fin + h + c1, ok & inside
 
 
-def lk_pyramid(pyr0, pyr1, pts0, pts_init, win: int = 21, iters: int = 8):
+def _track_level(i0, i1, pts, seeds, win: int, iters: int,
+                 use_pallas: bool):
+    """One pyramid level over all points: Pallas kernel (VMEM-resident
+    images, zero HBM gathers — ops/pallas/lk.py) or the vmapped XLA
+    block-fetch formulation."""
+    if use_pallas:
+        from lvio_fusion_tpu.ops.pallas.lk import lk_level_pallas
+        interp = jax.default_backend() not in ("tpu", "axon")
+        return lk_level_pallas(i0, i1, pts, seeds, win, iters,
+                               interpret=interp)
+    return jax.vmap(partial(_lk_level_pt, i0, i1,
+                            win=win, iters=iters))(pts, seeds)
+
+
+def lk_level_shim(i0, i1, pts, seeds, win: int, iters: int,
+                  use_pallas: bool = False):
+    """Public single-level entry (exactness tests / external callers)."""
+    return _track_level(i0, i1, pts, seeds, win, iters, use_pallas)
+
+
+def lk_pyramid(pyr0, pyr1, pts0, pts_init, win: int = 21, iters: int = 8,
+               use_pallas: bool = False):
     """Track pts0 (N,2) from pyramid pyr0 to pyr1, seeded at pts_init.
 
     pyr*: list of (H,W) arrays, level 0 full-res.
@@ -148,9 +169,8 @@ def lk_pyramid(pyr0, pyr1, pts0, pts_init, win: int = 21, iters: int = 8):
             i0 = jnp.pad(pyr0[lvl], P, mode="edge")
             i1 = jnp.pad(pyr1[lvl], P, mode="edge")
             off = float(P)
-        track = jax.vmap(partial(_lk_level_pt, i0, i1,
-                                 win=win, iters=iters))
-        p, ok_l = track(pts0 / s + off, p + off)
+        p, ok_l = _track_level(i0, i1, pts0 / s + off, p + off,
+                               win, iters, use_pallas)
         p = p - off
         if lvl == 0:
             ok = ok & ok_l
@@ -163,7 +183,7 @@ def lk_pyramid(pyr0, pyr1, pts0, pts_init, win: int = 21, iters: int = 8):
 
 def track_bidirectional(pyr0, pyr1, pts0, pts_init=None, win: int = 21,
                         iters: int = 8, back_win: int = 9,
-                        max_dev: float = 0.5):
+                        max_dev: float = 0.5, use_pallas: bool = False):
     """Forward LK + reverse check (reference utility.cpp:55-89 semantics).
 
     Returns (pts1, status): status True where forward track converged AND
@@ -171,10 +191,12 @@ def track_bidirectional(pyr0, pyr1, pts0, pts_init=None, win: int = 21,
     """
     if pts_init is None:
         pts_init = pts0
-    pts1, ok_f = lk_pyramid(pyr0, pyr1, pts0, pts_init, win, iters)
+    pts1, ok_f = lk_pyramid(pyr0, pyr1, pts0, pts_init, win, iters,
+                            use_pallas)
     # reverse check runs at full resolution only: it is seeded at the
     # expected answer (pts0), so coarse levels add cost, not convergence
-    back, ok_b = lk_pyramid(pyr1[:1], pyr0[:1], pts1, pts0, back_win, iters)
+    back, ok_b = lk_pyramid(pyr1[:1], pyr0[:1], pts1, pts0, back_win, iters,
+                            use_pallas)
     dev = jnp.linalg.norm(back - pts0, axis=-1)
     H, W = pyr0[0].shape
     status = ok_f & ok_b & (dev < max_dev) & in_bounds(pts1, H, W, 1.0)

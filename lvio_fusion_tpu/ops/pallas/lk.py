@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: single-level inverse-compositional Lucas-Kanade.
+
+The per-frame tracking hot op (ops/lk.py `_lk_level_pt`, the TPU-native
+replacement for the reference's cv::calcOpticalFlowPyrLK,
+utility.cpp:55-89). The XLA formulation vmaps a per-point
+``dynamic_slice`` block fetch over N points, which lowers to strided HBM
+gathers — the one part of the frame program XLA cannot fuse or tile
+well. This kernel keeps BOTH pyramid levels resident in VMEM (a padded
+KITTI level-0 pair is ~3.7 MB, well under the ~16 MB budget) so every
+block fetch is an on-chip dynamic slice, and the whole GN iteration
+loop runs on in-register data.
+
+Math is kept IDENTICAL to `_lk_level_pt` (same tent-matmul bilinear
+resampling, same Scharr template gradients, same clamping) so the kernel
+is exactness-testable against the XLA path (tests/test_pallas_lk.py) and
+drop-in switchable per config flag (`EstimatorConfig.pallas_lk`).
+
+Grid: one program per point chunk (C points); each program loops its C
+points with unrolled per-point math. Points are cheap relative to the
+image residency — the kernel's win is removing the gather traffic, not
+MXU utilization of the tiny tent matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# keep in sync with ops/lk.py (search-block margin)
+_MARGIN = 11
+
+
+def _tent(start, out_n: int, in_n: int):
+    """(out_n, in_n) bilinear resampling matrix (ops/lk.py _tent_weights),
+    built with 2-D iotas (1-D iota is unsupported on TPU)."""
+    j = jax.lax.broadcasted_iota(jnp.float32, (out_n, in_n), 0)
+    i = jax.lax.broadcasted_iota(jnp.float32, (out_n, in_n), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(start + j - i))
+
+
+def _resample(blk, sy, sx, out_n: int):
+    S = blk.shape[0]
+    wy = _tent(sy, out_n, S)
+    wx = _tent(sx, out_n, S)
+    t = jax.lax.dot_general(wy, blk, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(t, wx, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _scharr(tc):
+    d0, d2 = -1.0 / 32, 1.0 / 32
+    s0, s1, s2 = 3.0, 10.0, 3.0
+    sm_v = s0 * tc[:-2, :] + s1 * tc[1:-1, :] + s2 * tc[2:, :]
+    gx = d0 * sm_v[:, :-2] + d2 * sm_v[:, 2:]
+    sm_h = s0 * tc[:, :-2] + s1 * tc[:, 1:-1] + s2 * tc[:, 2:]
+    gy = d0 * sm_h[:-2, :] + d2 * sm_h[2:, :]
+    return gx, gy
+
+
+def _make_kernel(H: int, W: int, win: int, iters: int, C: int):
+    h = (win - 1) / 2.0
+    S = win + _MARGIN
+    TB = win + 4
+    lim = float(S - win - 1)
+
+    def kernel(pts_ref, seed_ref, img0_ref, img1_ref, out_ref):
+        for j in range(C):
+            p0x = pts_ref[j, 0]
+            p0y = pts_ref[j, 1]
+
+            # --- template block fetch + subpixel shift + Scharr ---
+            cx0 = jnp.clip(jnp.floor(p0x - (h + 1.0)), 0.0, float(W - TB))
+            cy0 = jnp.clip(jnp.floor(p0y - (h + 1.0)), 0.0, float(H - TB))
+            blk0 = img0_ref[pl.ds(cy0.astype(jnp.int32), TB),
+                            pl.ds(cx0.astype(jnp.int32), TB)]
+            o0x = jnp.clip(p0x - (h + 1.0) - cx0, 0.0, float(TB - win - 2))
+            o0y = jnp.clip(p0y - (h + 1.0) - cy0, 0.0, float(TB - win - 2))
+            tc = _resample(blk0, o0y, o0x, win + 2)
+            t = tc[1:-1, 1:-1]
+            gx, gy = _scharr(tc)
+
+            gxx = jnp.sum(gx * gx)
+            gxy = jnp.sum(gx * gy)
+            gyy = jnp.sum(gy * gy)
+            det = gxx * gyy - gxy * gxy
+            ok = det > 1e-6
+            det_safe = jnp.where(ok, det, 1.0)
+            ixx = gyy / det_safe
+            ixy = -gxy / det_safe
+            iyy = gxx / det_safe
+
+            # --- search block around the seed ---
+            p1x = seed_ref[j, 0]
+            p1y = seed_ref[j, 1]
+            cx1 = jnp.clip(jnp.floor(p1x) - (S // 2), 0.0, float(W - S))
+            cy1 = jnp.clip(jnp.floor(p1y) - (S // 2), 0.0, float(H - S))
+            blk1 = img1_ref[pl.ds(cy1.astype(jnp.int32), S),
+                            pl.ds(cx1.astype(jnp.int32), S)]
+
+            def body(_, p):
+                px, py = p
+                lx = jnp.clip(px - h - cx1, 0.0, lim)
+                ly = jnp.clip(py - h - cy1, 0.0, lim)
+                w = _resample(blk1, ly, lx, win)
+                diff = w - t
+                bx = jnp.sum(gx * diff)
+                by = jnp.sum(gy * diff)
+                nx = (lx - (ixx * bx + ixy * by)) + h + cx1
+                ny = (ly - (ixy * bx + iyy * by)) + h + cy1
+                return (nx, ny)
+
+            p1x, p1y = jax.lax.fori_loop(0, iters, body, (p1x, p1y))
+            lx = p1x - h - cx1
+            ly = p1y - h - cy1
+            inside = ((lx > 0.5) & (lx < lim - 0.5)
+                      & (ly > 0.5) & (ly < lim - 0.5))
+            lx = jnp.clip(lx, 0.0, lim)
+            ly = jnp.clip(ly, 0.0, lim)
+            out_ref[j, 0] = lx + h + cx1
+            out_ref[j, 1] = ly + h + cy1
+            out_ref[j, 2] = (ok & inside).astype(jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("win", "iters", "interpret", "chunk"))
+def lk_level_pallas(img0, img1, pts0, seeds, win: int, iters: int,
+                    interpret: bool = False, chunk: int = 8):
+    """Track N points one pyramid level: (pts1 (N, 2), ok (N,) bool).
+
+    Drop-in for ``jax.vmap(partial(ops.lk._lk_level_pt, img0, img1,
+    win=win, iters=iters))(pts0, seeds)`` — same math, same outputs.
+    """
+    H, W = img0.shape
+    N = pts0.shape[0]
+    Np = ((N + chunk - 1) // chunk) * chunk
+    if Np != N:
+        pad = ((0, Np - N), (0, 0))
+        # pad with safely-interior points; rows are discarded below
+        pts0 = jnp.pad(pts0, pad, constant_values=float(win))
+        seeds = jnp.pad(seeds, pad, constant_values=float(win))
+
+    out = pl.pallas_call(
+        _make_kernel(H, W, win, iters, chunk),
+        grid=(Np // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, 3), jnp.float32),
+        interpret=interpret,
+    )(pts0.astype(jnp.float32), seeds.astype(jnp.float32), img0, img1)
+    return out[:N, :2], out[:N, 2] > 0.5
