@@ -228,6 +228,45 @@ class VectorEnv:
         self.step = lambda state, actions: step(tables, state, actions)
 
 
+def drift_init(poses_gt: np.ndarray, drift: float,
+               drift_seed: int) -> np.ndarray:
+    """Drift-perturbed solve initialization: a random-walk translation of
+    ``drift`` meters per traveled meter on top of the gt poses (the same
+    walk ``tables_from_map`` applies)."""
+    poses_init = np.asarray(poses_gt).copy()
+    K = len(poses_init)
+    if drift > 0 and K > 1:
+        rng = np.random.default_rng(drift_seed)
+        step_len = np.linalg.norm(poses_init[1:, 4:] - poses_init[:-1, 4:],
+                                  axis=-1)
+        walk = np.cumsum(rng.normal(0, 1, (K - 1, 3))
+                         * (drift * step_len)[:, None], axis=0)
+        poses_init[1:, 4:] += walk.astype(np.float32)
+    return poses_init
+
+
+def with_drift(tables: EnvTables, drift: float,
+               drift_seed: int) -> EnvTables:
+    """Re-seed a table set's drift realization WITHOUT rebuilding the
+    (drift-independent) keyframe tables — only ``poses_init`` depends on
+    the drift walk. Evaluating a policy over many held-out realizations
+    then costs one ``tables_from_map`` total instead of one per seed."""
+    return tables.replace(poses_init=jnp.asarray(
+        drift_init(np.asarray(tables.poses_gt), drift, drift_seed)))
+
+
+def stack_realizations(tables_list) -> EnvTables:
+    """Concatenate table sets along the keyframe axis (scalar g_norm kept
+    from the first): R same-shaped realizations become ONE EnvTables of
+    K' = R*K keyframes, so a batched env can evaluate every realization
+    in a single jitted step program. Env start indices must stay within
+    one realization's [r*K, (r+1)*K) span (rollouts walk kf+1)."""
+    first = tables_list[0]
+    return jax.tree.map(
+        lambda *xs: xs[0] if np.ndim(xs[0]) == 0
+        else jnp.concatenate(xs, axis=0), *tables_list)
+
+
 def tables_from_map(m, gt_times, gt_poses, cam_right, caps=None,
                     height: int = 240, width: int = 360,
                     lidar_mapping=None, drift: float = 0.0,
@@ -280,14 +319,7 @@ def tables_from_map(m, gt_times, gt_poses, cam_right, caps=None,
         poses_gt = np.stack([np_se3.se3_mul(T_align, p)
                              for p in poses_gt]).astype(np.float32)
     poses_prev = np.concatenate([poses_gt[:1], poses_gt[:-1]])
-    poses_init = poses_gt.copy()
-    if drift > 0:
-        rng = np.random.default_rng(drift_seed)
-        step_len = np.linalg.norm(poses_gt[1:, 4:] - poses_gt[:-1, 4:],
-                                  axis=-1)
-        walk = np.cumsum(rng.normal(0, 1, (K - 1, 3))
-                         * (drift * step_len)[:, None], axis=0)
-        poses_init[1:, 4:] += walk.astype(np.float32)
+    poses_init = drift_init(poses_gt, drift, drift_seed)
 
     # frozen IMU factor tables
     from lvio_fusion_tpu.models.sensors import GRAVITY

@@ -65,40 +65,55 @@ def test_shipped_policy_loads_and_beats_default_weights():
     dw = default_weights(float(est.cam_left.fx))
     a_def = jnp.asarray(weights_to_action(dw))
 
-    def rollout(env, policy_fn, seed):
-        key = jax.random.PRNGKey(seed)
-        state, obs = env.reset(key)
-        obs = obs.reshape(obs.shape[0], -1)
-        total, steps = 0.0, 0
-        for _ in range(env.horizon):
-            act = policy_fn(obs)
-            state, obs, rew, done = env.step(state, act)
-            obs = obs.reshape(obs.shape[0], -1)
-            total += float(rew.mean())
-            steps += 1
-        return total / steps
-
-    # average over >= 10 held-out drift realizations: a single
-    # realization's default-vs-policy gap is dominated by how hard that
-    # particular drift walk happens to be, and a 3-walk mean can flip
-    # sign run to run — the artifact is gated on the multi-realization
-    # mean, with the spread reported alongside
-    r_policy, r_default = [], []
-    for ds in (9, 11, 13, 17, 19, 23, 29, 31, 37, 41):
-        tables = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
-                                 est.cam_right, height=240, width=360,
-                                 lidar_mapping=est.lidar_mapping,
-                                 drift=0.05, drift_seed=ds)
-        env = VectorEnv(tables, est.cam_left, num_envs=8, horizon=8)
-        r_policy.append(rollout(
-            env, lambda o: agent.act(agent.state.actor, o), ds))
-        r_default.append(rollout(
-            env, lambda o: jnp.broadcast_to(a_def, (env.B, 3)), ds))
-    r_policy, r_default = np.asarray(r_policy), np.asarray(r_default)
+    # average over >= 10 held-out evaluation conditions. Measured fact
+    # (r4): the env's 4-iteration GN fully converges, so rewards move by
+    # ~1e-5 across drift-walk seeds — drift realizations alone are 10
+    # IDENTICAL measurements, and the real outcome diversity lives in
+    # the start keyframe. The held-out axis is therefore (start kf x
+    # drift seed): 5 distinct starts x 2 walks = 10 conditions, each a
+    # horizon-4 rollout. Realizations differ only in poses_init
+    # (environment.with_drift) and stack along the kf axis
+    # (stack_realizations), so policy AND default arms of all conditions
+    # run in ONE batched env program per step.
+    from lvio_fusion_tpu.adapt.environment import (
+        EnvState, stack_realizations, with_drift,
+    )
+    seeds = (9, 11)
+    base = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
+                           est.cam_right, height=240, width=360,
+                           lidar_mapping=est.lidar_mapping,
+                           drift=0.05, drift_seed=seeds[0])
+    stacked = stack_realizations(
+        [with_drift(base, 0.05, ds) for ds in seeds])
+    K = base.poses_gt.shape[0]
+    n_starts, horizon = 5, 4
+    assert K - 1 >= n_starts + horizon, f"sequence too short: K={K}"
+    R = len(seeds) * n_starts  # 10 conditions
+    env = VectorEnv(stacked, est.cam_left, num_envs=2 * R,
+                    horizon=horizon)
+    # condition (r, s) starts at kf 1+s inside realization r's span;
+    # the first R envs follow the policy, the rest the constant default
+    starts = np.concatenate([
+        r * K + 1 + np.arange(n_starts) for r in range(len(seeds))])
+    starts = np.concatenate([starts, starts]).astype(np.int32)
+    state = EnvState(kf=jnp.asarray(starts),
+                     t=jnp.zeros(2 * R, jnp.int32),
+                     key=jax.random.PRNGKey(0))
+    obs = stacked.obs_grid[state.kf].reshape(2 * R, -1)
+    tot = np.zeros(2 * R)
+    for _ in range(horizon):
+        act_pol = agent.act(agent.state.actor, obs[:R])
+        act = jnp.concatenate([act_pol,
+                               jnp.broadcast_to(a_def, (R, 3))])
+        state, obs, rew, done = env.step(state, act)
+        obs = obs.reshape(2 * R, -1)
+        tot += np.asarray(rew)
+    tot /= horizon
+    r_policy, r_default = tot[:R], tot[R:]
     diff = r_policy - r_default
     print(f"held-out policy reward {r_policy.mean():.3f}±"
           f"{r_policy.std():.3f} vs default {r_default.mean():.3f}±"
-          f"{r_default.std():.3f} over {len(diff)} realizations "
+          f"{r_default.std():.3f} over {len(diff)} conditions "
           f"(policy wins {int((diff > 0).sum())}/{len(diff)})")
     assert r_policy.mean() >= 0.9 * r_default.mean(), \
         f"trained policy underperforms defaults: {r_policy} < {r_default}"
