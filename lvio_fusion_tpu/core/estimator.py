@@ -141,6 +141,12 @@ class EstimatorConfig:
     # kernel (ops/pallas/lk.py: VMEM-resident images, no HBM gathers).
     # Off by default until an on-chip A/B vs the XLA block-fetch path
     # lands (tracked r4); exactness-tested in tests/test_pallas_lk.py
+    cond_kf_stage: bool = True  # lax.cond-skip the speculative keyframe
+    # stage (detect + stereo LK + BRIEF + triangulate) inside the
+    # batched/pipelined frame programs when the on-device keyframe
+    # decision — exactly the host's formula — says no keyframe is due;
+    # XLA executes only the taken branch, so no-kf batches skip the
+    # detection FLOPs entirely (equivalence: tests pass either way)
 
 
 class Estimator:
@@ -183,7 +189,9 @@ class Estimator:
         # batched dispatch and seed LK via on-device preintegration
         self._batch_imu_cap = c.imu_frame_buf if c.use_imu else 0
         self._batch_step = (fns.make_batch_kf_step(
-            c.frame_batch, imu_cap=self._batch_imu_cap, g_norm=c.g_norm)
+            c.frame_batch, imu_cap=self._batch_imu_cap, g_norm=c.g_norm,
+            kf_thresh=(c.num_features_needed_for_keyframe
+                       if c.cond_kf_stage else None))
             if c.frame_batch > 1 and not c.pipelined_flush else None)
         # lag-1 pipelined frontend (device-autonomous keyframe merge)
         self._pipe_step = (fns.make_pipe_step(
@@ -878,6 +886,14 @@ class Estimator:
         if self._dev is None:
             self._sync_device_state()
         d = self._dev
+        # time-trigger half of the keyframe decision, known BEFORE the
+        # dispatch (no keyframe can appear mid-batch); the inlier half is
+        # computed on-device so the cond'd keyframe stage fires exactly
+        # when the host's post-fetch decision will ask for its result
+        force_kf = np.asarray(
+            self.last_kf_time is None
+            or times[-1] - self.last_kf_time
+            >= self.cfg.max_keyframe_interval)
         with TIMERS.time("frontend.flush.dispatch"):
             common = (imgs, right_dev, d["pyr"],
                       d["feat_px"], d["feat_valid"], d["lm_world"],
@@ -887,7 +903,8 @@ class Estimator:
                  vel_d) = self._batch_step(
                     *common, jnp.asarray(imu_acc), jnp.asarray(imu_gyr),
                     jnp.asarray(imu_dt), jnp.asarray(imu_on),
-                    jnp.asarray(self.cur_vel), jnp.asarray(self.cur_bias))
+                    jnp.asarray(self.cur_vel), jnp.asarray(self.cur_bias),
+                    force_kf)
             else:
                 if self._ext_zero is None:
                     ext_preds = np.zeros((B, 7), np.float32)
@@ -895,7 +912,8 @@ class Estimator:
                     self._ext_zero = (jax.device_put(ext_preds),
                                       jax.device_put(np.zeros(B, bool)))
                 (pyr_cur, fpx_d, fval_d, pose_d, rel_d, packed,
-                 kf_packed) = self._batch_step(*common, *self._ext_zero)
+                 kf_packed) = self._batch_step(*common, *self._ext_zero,
+                                               force_kf)
         self._dev = dict(pyr=pyr_cur, feat_px=fpx_d, feat_valid=fval_d,
                          lm_world=d["lm_world"], pose=pose_d,
                          relative=rel_d)

@@ -352,7 +352,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     _batch_steps = {}
 
     def make_batch_kf_step(B: int, imu_cap: int = 0,
-                           g_norm: float = 9.81007):
+                           g_norm: float = 9.81007, kf_thresh=None):
         """Jitted B-frame tracking step with a SPECULATIVE keyframe stage:
         ONE stacked image upload, ONE dispatch, ONE packed fetch for B
         consecutive frames. Host-side transfers through the TPU tunnel
@@ -363,17 +363,24 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         exhibits (backend.cpp:28-40).
 
         The keyframe stage (detect + stereo-match + triangulate on the
-        batch's FINAL frame) runs unconditionally inside the same program:
-        it costs on-device FLOPs but zero extra round trips, and its
-        result is simply discarded when the host decides no keyframe is
-        due. kf_packed rows carry the triangulated point in the ROBOT
-        frame (pose-independent) so the host can re-world them under a
-        corrected pose after LOST recovery or BA.
+        batch's FINAL frame) runs inside the same program: it costs
+        on-device FLOPs but zero extra round trips. With ``kf_thresh``
+        set, the stage is wrapped in a ``lax.cond`` that reproduces the
+        host's keyframe decision EXACTLY (min batch inliers < thresh, or
+        the time trigger passed in as ``force_kf``) — XLA executes only
+        the taken branch, so no-keyframe batches skip the detection
+        FLOPs entirely; kf_packed is zeros then, and the host never
+        reads it (its own decision matches by construction; a LOST batch
+        implies min_inliers <= tracking_bad < kf_thresh, so recovery
+        always has a live detection). kf_packed rows carry the
+        triangulated point in the ROBOT frame (pose-independent) so the
+        host can re-world them under a corrected pose after LOST
+        recovery or BA.
 
         Returns (pyr_last, feat_px', feat_valid', pose', relative',
         packed (B, N*3+8), kf_packed (M, 29)).
         """
-        key = (B, imu_cap)
+        key = (B, imu_cap, kf_thresh)
         if key in _batch_steps:
             return _batch_steps[key]
 
@@ -382,7 +389,8 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         )
 
         def _body(imgs_u8, xs_extra, img_right_u8, pyr_last, feat_px,
-                  feat_valid, lm_world, pose, relative, vel0, pred_fn):
+                  feat_valid, lm_world, pose, relative, vel0, pred_fn,
+                  force_kf):
             """Shared B-frame loop as ONE ``lax.scan``: the per-frame body
             (pyramid + LK + pose refine) is traced and compiled once
             instead of B times — the unrolled form cost minutes of remote
@@ -403,16 +411,28 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                 packed = jnp.concatenate([
                     r.pts.reshape(-1), r.ok.astype(jnp.float32), r.pose,
                     r.num_inliers.astype(jnp.float32)[None]])
-                return (pyr_cur, r.pts, r.ok, r.pose, relative, vel), packed
+                return ((pyr_cur, r.pts, r.ok, r.pose, relative, vel),
+                        (packed, r.num_inliers))
 
-            carry, packed_rows = jax.lax.scan(
+            carry, (packed_rows, inls) = jax.lax.scan(
                 body, (pyr_last, feat_px, feat_valid, pose, relative, vel0),
                 (imgs_u8, xs_extra))
             pyr_last, feat_px, feat_valid, pose, relative, vel = carry
-            pyr_right = _pyramid(img_right_u8)
-            kf, pb_tri, desc, desc_ok = _make_keyframe(
-                pyr_last, pyr_right, feat_px, feat_valid, pose)
-            kf_packed = _pack_keyframe(kf, pb_tri, desc, desc_ok)
+
+            def _kf_stage(_):
+                pyr_right = _pyramid(img_right_u8)
+                kf, pb_tri, desc, desc_ok = _make_keyframe(
+                    pyr_last, pyr_right, feat_px, feat_valid, pose)
+                return _pack_keyframe(kf, pb_tri, desc, desc_ok)
+
+            if kf_thresh is None:
+                kf_packed = _kf_stage(None)
+            else:
+                need = force_kf | (jnp.min(inls) < kf_thresh)
+                kf_packed = jax.lax.cond(
+                    need, _kf_stage,
+                    lambda _: jnp.zeros((num_features, 29), jnp.float32),
+                    None)
             return (pyr_last, feat_px, feat_valid, pose, relative,
                     packed_rows, kf_packed, vel)
 
@@ -420,14 +440,14 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             @jax.jit
             def batch_kf_step(imgs_u8, img_right_u8, pyr_last, feat_px,
                               feat_valid, lm_world, pose, relative,
-                              ext_preds, use_ext):
+                              ext_preds, use_ext, force_kf):
                 def pred(extra, pose, relative, vel):
                     ep, ue = extra
                     return jnp.where(ue, ep, se3_mul(pose, relative)), vel
                 z3 = jnp.zeros(3, jnp.float32)
                 return _body(imgs_u8, (ext_preds, use_ext), img_right_u8,
                              pyr_last, feat_px, feat_valid, lm_world, pose,
-                             relative, z3, pred)[:-1]
+                             relative, z3, pred, force_kf)[:-1]
         else:
             # IMU-seeded variant: per-frame raw sample windows ride along
             # in the SAME dispatch; a light (no-covariance) preintegration
@@ -437,7 +457,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             def batch_kf_step(imgs_u8, img_right_u8, pyr_last, feat_px,
                               feat_valid, lm_world, pose, relative,
                               imu_acc, imu_gyr, imu_dt, imu_on, vel0,
-                              bias):
+                              bias, force_kf):
                 def pred(extra, pose, relative, vel):
                     acc, gyr, dt, on = extra
                     dp, dq, dv, sdt = preintegrate_light(
@@ -449,7 +469,8 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
 
                 return _body(imgs_u8, (imu_acc, imu_gyr, imu_dt, imu_on),
                              img_right_u8, pyr_last, feat_px, feat_valid,
-                             lm_world, pose, relative, vel0, pred)
+                             lm_world, pose, relative, vel0, pred,
+                             force_kf)
 
         _batch_steps[key] = batch_kf_step
         return batch_kf_step
@@ -551,20 +572,33 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                 xs)
             pyr_last, feat_px, feat_valid, pose, relative, vel = carry
 
-            # ---- speculative keyframe stage on the final frame ----
-            pyr_right = _pyramid(img_right_u8)
-            kf, pb_tri, desc, desc_ok = _make_keyframe(
-                pyr_last, pyr_right, feat_px, feat_valid, pose)
-            kf_packed = _pack_keyframe(kf, pb_tri, desc, desc_ok)
-
-            # ---- device-side keyframe decision + feature merge ----
+            # ---- device-side keyframe decision (before the stage so a
+            # lax.cond can skip the detection FLOPs on no-kf batches) ----
             min_inl = jnp.min(inls)
             t_since_kf = t_since_kf + jnp.sum(frame_dts)
             need_kf = (min_inl < kf_thresh) \
                 | (t_since_kf >= max_kf_interval)
+
+            # ---- speculative keyframe stage on the final frame ----
+            M = num_features
+
+            def _kf_stage(_):
+                pyr_right = _pyramid(img_right_u8)
+                kf, pb_tri, desc, desc_ok = _make_keyframe(
+                    pyr_last, pyr_right, feat_px, feat_valid, pose)
+                return (_pack_keyframe(kf, pb_tri, desc, desc_ok),
+                        kf.new_px_left, kf.world, kf.valid)
+
+            kf_packed, kf_px, kf_world, kf_valid = jax.lax.cond(
+                need_kf, _kf_stage,
+                lambda _: (jnp.zeros((M, 29), jnp.float32),
+                           jnp.zeros((M, 2), jnp.float32),
+                           jnp.zeros((M, 3), jnp.float32),
+                           jnp.zeros((M,), bool)), None)
+
+            # ---- feature merge ----
             free_slots = jnp.nonzero(~feat_valid, size=N, fill_value=N)[0]
-            M = kf.valid.shape[0]
-            det_ids = jnp.nonzero(kf.valid, size=M, fill_value=M)[0]
+            det_ids = jnp.nonzero(kf_valid, size=M, fill_value=M)[0]
             take = min(N, M)
             tgt = jnp.where(need_kf, free_slots[:take],
                             jnp.full(take, N))  # N = dropped
@@ -572,9 +606,9 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             src_ok = src < M
             tgt = jnp.where(src_ok, tgt, N)
             safe_src = jnp.minimum(src, M - 1)
-            feat_px = feat_px.at[tgt].set(kf.new_px_left[safe_src],
+            feat_px = feat_px.at[tgt].set(kf_px[safe_src],
                                           mode="drop")
-            lm_world = lm_world.at[tgt].set(kf.world[safe_src],
+            lm_world = lm_world.at[tgt].set(kf_world[safe_src],
                                             mode="drop")
             feat_valid = feat_valid.at[tgt].set(True, mode="drop")
             feat_gen = feat_gen.at[tgt].set(batch_gen, mode="drop")
