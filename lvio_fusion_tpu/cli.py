@@ -167,6 +167,51 @@ def _build_euroc(args):
 def cmd_run(args):
     from lvio_fusion_tpu.utils.trajectory import write_tum_csv
 
+    if getattr(args, "replicas", 1) > 1:
+        # multi-stream scale-out: one SLAM instance per device, round-
+        # robin host dispatch (parallel/replicas.py). Synthetic streams
+        # (per-stream seeds) stand in for N live camera feeds.
+        if args.dataset != "synthetic" or args.imu or args.lidar:
+            raise SystemExit("--replicas currently supports the "
+                             "synthetic stereo-VO dataset")
+        import jax
+
+        from lvio_fusion_tpu.core.estimator import (
+            Estimator, EstimatorConfig,
+        )
+        from lvio_fusion_tpu.datasets.synthetic import make_sequence
+        from lvio_fusion_tpu.parallel.replicas import (
+            ReplicaRunner, run_streams,
+        )
+        R = args.replicas
+        seqs = [make_sequence(num_frames=args.frames, H=240, W=360,
+                              num_points=400, seed=i) for i in range(R)]
+        cfg = EstimatorConfig(
+            height=240, width=360, num_features=200,
+            num_features_init=30, num_features_tracking_bad=10,
+            num_features_needed_for_keyframe=80, window_kfs=6,
+            landmark_slots=256, obs_slots=1024, po_slots=512, ba_iters=5,
+            cell=24, occupy_radius=10, frame_batch=args.batch)
+        runner = ReplicaRunner(
+            lambda: Estimator(seqs[0].cam_left, seqs[0].cam_right, cfg),
+            n_replicas=R)
+        print(f"{R} replicas on {[str(d) for d in runner.devices]}",
+              file=sys.stderr)
+        t0 = _time.perf_counter()
+        trajs = run_streams(
+            runner, [[(fr.time, fr.left, fr.right) for fr in s.frames]
+                     for s in seqs])
+        dt = _time.perf_counter() - t0
+        n = sum(len(s.frames) for s in seqs)
+        for i, (times, poses) in enumerate(trajs):
+            out = (args.out if R == 1 else
+                   args.out.replace(".csv", f"_{i}.csv"))
+            write_tum_csv(out, times, poses)
+            print(f"stream {i}: {len(times)} keyframes -> {out}")
+        print(f"{n} frames total in {dt:.1f}s "
+              f"({n / dt:.2f} fps aggregate over {R} streams)")
+        return
+
     if args.dataset == "synthetic":
         est, stream, _ = _build_synthetic(args)
     elif args.dataset == "kaist":
@@ -240,26 +285,22 @@ def cmd_train_rl(args):
     lm = getattr(est, "lidar_mapping", None)
     # train across SEVERAL drift realizations (concatenated along the
     # keyframe axis) so the policy learns the weight->accuracy mapping,
-    # not one particular drift walk; eval uses a held-out realization
-    import jax as _jax
-    table_sets = [tables_from_map(est.map, seq.gt_times, seq.gt_poses,
-                                  est.cam_right, height=240, width=360,
-                                  lidar_mapping=lm, drift=args.drift,
-                                  drift_seed=s) for s in (0, 2, 3, 4, 5)]
-    import jax.numpy as _jnp
-
-    def _cat(*xs):
-        xs = [np.asarray(x) for x in xs]
-        return _jnp.asarray(xs[0] if xs[0].ndim == 0
-                            else np.concatenate(xs, axis=0))
-    tables = _jax.tree.map(_cat, *table_sets)
+    # not one particular drift walk; eval uses a held-out realization.
+    # Only poses_init depends on the walk, so one table build serves all
+    # realizations (environment.with_drift / stack_realizations).
+    from lvio_fusion_tpu.adapt.environment import (
+        stack_realizations, with_drift,
+    )
+    base = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
+                           est.cam_right, height=240, width=360,
+                           lidar_mapping=lm, drift=args.drift,
+                           drift_seed=0)
+    tables = stack_realizations(
+        [base] + [with_drift(base, args.drift, s) for s in (2, 3, 4, 5)])
     env = VectorEnv(tables, est.cam_left, num_envs=args.envs,
                     horizon=10, weight_reg=args.weight_reg)
     # held-out evaluation instances: a DIFFERENT drift realization
-    eval_tables = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
-                                  est.cam_right, height=240, width=360,
-                                  lidar_mapping=lm, drift=args.drift,
-                                  drift_seed=1)
+    eval_tables = with_drift(base, args.drift, 1)
     eval_env = VectorEnv(eval_tables, est.cam_left,
                          num_envs=max(args.envs, 8), horizon=10,
                          weight_reg=args.weight_reg)
@@ -370,6 +411,9 @@ def main(argv=None):
                    help="dump tracking-feature overlay PNGs here (the "
                         "reference's live imshow view, offline)")
     r.add_argument("--overlay-every", type=int, default=10)
+    r.add_argument("--replicas", type=int, default=1,
+                   help="N independent SLAM streams on N devices "
+                        "(multi-chip serving scale-out; synthetic only)")
     r.add_argument("--small-shapes", action="store_true",
                    help="small fixed-capacity tables (CI/smoke runs; "
                         "shares the test suite's compiled programs)")
