@@ -26,16 +26,23 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
+        # unconditional make: a no-op when the library is fresh, a
+        # rebuild when a source is newer than a stale local .so
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.lvio_load_velodyne.restype = ctypes.c_int
         lib.lvio_load_png_gray.restype = ctypes.c_int
+        lib.lvio_dct_encode.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
     return _lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library (None when no toolchain is available)."""
+    return _load()
 
 
 def load_velodyne(path: str, max_points: int = 150000) -> np.ndarray:

@@ -243,19 +243,52 @@ def _cpu_encode_fn(Hp: int, Wp: int, K: int, quality: int, bits: int = 8):
     return jax.jit(enc, device=cpu)
 
 
+def _native_encoder(Hp: int, Wp: int, K: int, quality: int, bits: int):
+    """C++ encoder (native/dct_encoder.cpp) or None: same payload as
+    :func:`encode`, no XLA dispatch, GIL released for the whole call."""
+    try:
+        from lvio_fusion_tpu.datasets.native import get_lib
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "lvio_dct_encode"):
+            return None
+    except Exception:
+        return None
+    import ctypes
+
+    qv = np.ascontiguousarray(_qvec(quality)[:K], np.float32)
+    nb = (Hp // 8) * (Wp // 8)
+    row = 2 + ac_bytes(K, bits) + 1
+
+    def encode_native(img_u8):
+        img = np.ascontiguousarray(img_u8, np.uint8)
+        out = np.empty((nb, row), np.int8)
+        n = lib.lvio_dct_encode(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), Hp, Wp,
+            qv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), K, bits,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)))
+        if n != nb:
+            raise RuntimeError(f"native dct encode failed: {n}")
+        return out
+
+    return encode_native
+
+
 def make_encoder(H: int, W: int, K: int = 16, quality: int = 92,
                  bits: int = 8):
     """Fast host-side encoder: fn(u8 (H, W)) -> (nb, 2+ac_bytes+1) int8
-    payload. Bit-identical to :func:`encode` (same math, f32) but runs
-    as one jitted XLA-CPU program."""
+    payload. Prefers the native C++ encoder (same payload as
+    :func:`encode`, zero XLA dispatch); falls back to one jitted XLA-CPU
+    program where no toolchain is available. Both release the GIL so a
+    small thread pool overlaps per-frame encodes."""
     Hp, Wp, _ = dct_grid(H, W)
-    fn = _cpu_encode_fn(Hp, Wp, K, quality, bits)
+    native = _native_encoder(Hp, Wp, K, quality, bits)
+    fn = None if native else _cpu_encode_fn(Hp, Wp, K, quality, bits)
 
     def encode_fast(img_u8):
         img = np.asarray(img_u8)
         if img.shape != (Hp, Wp):
             img = np.pad(img, ((0, Hp - img.shape[0]),
                                (0, Wp - img.shape[1])), mode="edge")
-        return np.asarray(fn(img))
+        return native(img) if native else np.asarray(fn(img))
 
     return encode_fast
