@@ -165,7 +165,7 @@ class Estimator:
             remove_moving=c.remove_moving_points, moving_px=c.moving_px,
             equalize=c.equalize_hist, dct_k=c.dct_k,
             dct_quality=c.dct_quality, dct_bits=c.dct_bits,
-            pallas_lk=c.pallas_lk)
+            pallas_lk=c.pallas_lk, undistort=c.undistort)
         self._dct = None
         self._enc_pool = None
         if c.dct_k:
@@ -283,13 +283,6 @@ class Estimator:
             self.lidar_mapping = LidarMapping(
                 resolution=c.resolution, iters=c.lidar_iters,
                 map_cap=c.lidar_map_cap, up_axis=c.lidar_up_axis)
-
-        # image undistortion (reference estimator.cpp undistort maps)
-        self._undistort = None
-        if c.undistort:
-            from lvio_fusion_tpu.ops.image import make_undistorter
-            self._undistort = make_undistorter(cam_left, cam_right,
-                                               c.height, c.width)
 
         # global stage: pose graph + navsat + loop closure
         from lvio_fusion_tpu.loop.pose_graph import PoseGraph
@@ -632,12 +625,10 @@ class Estimator:
                                      init_pose)
 
     def _input_image(self, time, img_left, img_right, init_pose=None):
+        # undistortion (cfg.undistort) happens ON-DEVICE inside the frame
+        # programs (frontend._pyramid) — the old standalone path cost two
+        # dispatches + two image downloads per frame through the tunnel
         img_left = self._to_u8(img_left)
-        if self._undistort is not None:
-            img_left = np.asarray(self._undistort(jnp.asarray(img_left),
-                                                  jnp.int32(0)))
-            img_right = np.asarray(self._undistort(
-                jnp.asarray(self._to_u8(img_right)), jnp.int32(1)))
         img_right_u8 = None  # converted lazily (only needed at keyframes)
 
         if self.status != self.BUILDING and (

@@ -158,7 +158,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                   remove_moving: bool = True, moving_px: float = 30.0,
                   equalize: bool = False, dct_k: int = 0,
                   dct_quality: int = 92, dct_bits: int = 8,
-                  pallas_lk: bool = False):
+                  pallas_lk: bool = False, undistort: bool = False):
     """Build the jitted frontend stage functions for a fixed image size.
 
     The per-frame path (pyramid build + LK + pose refine) is ONE jitted
@@ -176,15 +176,29 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     if dct_k:
         from lvio_fusion_tpu.ops.dct import make_decoder
         _dct_decode = make_decoder(H, W, dct_k, dct_quality, dct_bits)
+    if undistort:
+        # undistortion fused INTO the frame programs (zero extra
+        # dispatches; the old standalone path cost two device round
+        # trips + two image downloads per frame through the tunnel).
+        # Maps are per-camera trace-time constants (estimator.cpp
+        # undistort semantics; reference 'undistort' yaml flag).
+        from lvio_fusion_tpu.ops.image import make_undistort_map
+        _umaps = (make_undistort_map(cam_left, H, W),
+                  make_undistort_map(cam_right, H, W))
 
-    def _pyramid(img):
+    def _pyramid(img, right: bool = False):
         if dct_k:
             img = _dct_decode(img)  # f32 in [0, 255]
+        if undistort:
+            from lvio_fusion_tpu.ops.image import undistort_image
+            img = undistort_image(img.astype(jnp.float32),
+                                  _umaps[1 if right else 0])
+            img = jnp.clip(img, 0.0, 255.0)
         if equalize:
             # reference lvio_fusion_node.cpp:94 — every incoming frame is
             # histogram-equalized before tracking (low-contrast imagery)
             from lvio_fusion_tpu.ops.image import equalize_hist
-            if dct_k:
+            if dct_k or undistort:
                 img = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
             img = equalize_hist(img)
         img = pad_to_multiple(img.astype(jnp.float32) * (1.0 / 255.0),
@@ -344,7 +358,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         triangulate + BRIEF, one dispatch + ONE packed (M, 29) transfer
         (unpack with ``unpack_keyframe_result`` / ``..._desc`` /
         ``..._robot``)."""
-        pyr_right = _pyramid(img_right_u8)
+        pyr_right = _pyramid(img_right_u8, right=True)
         r, pb, desc, desc_ok = _make_keyframe(pyr_left, pyr_right, cur_px,
                                               cur_valid, kf_pose)
         return _pack_keyframe(r, pb, desc, desc_ok)
@@ -420,7 +434,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             pyr_last, feat_px, feat_valid, pose, relative, vel = carry
 
             def _kf_stage(_):
-                pyr_right = _pyramid(img_right_u8)
+                pyr_right = _pyramid(img_right_u8, right=True)
                 kf, pb_tri, desc, desc_ok = _make_keyframe(
                     pyr_last, pyr_right, feat_px, feat_valid, pose)
                 return _pack_keyframe(kf, pb_tri, desc, desc_ok)
@@ -583,7 +597,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
             M = num_features
 
             def _kf_stage(_):
-                pyr_right = _pyramid(img_right_u8)
+                pyr_right = _pyramid(img_right_u8, right=True)
                 kf, pb_tri, desc, desc_ok = _make_keyframe(
                     pyr_last, pyr_right, feat_px, feat_valid, pose)
                 return (_pack_keyframe(kf, pb_tri, desc, desc_ok),
