@@ -14,17 +14,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _conv2d_same(img, kernel):
-    """2-D 'SAME' convolution of a single-channel image (H, W)."""
-    out = jax.lax.conv_general_dilated(
-        img[None, None, :, :],
-        kernel[None, None, :, :].astype(img.dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-    )
-    return out[0, 0]
-
-
 def _sep_h(img, taps):
     """Horizontal 1-D filter via shift-and-add (zero 'SAME' padding).
 
