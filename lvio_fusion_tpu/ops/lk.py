@@ -49,11 +49,33 @@ def _tent_weights(start, out_n: int, in_n: int, dtype):
 
 def _resample(blk, start_y, start_x, out_n: int):
     """Sample an (out_n, out_n) window from blk (S, S) with its top-left
-    corner at fractional position (start_y, start_x)."""
+    corner at fractional position (start_y, start_x).
+
+    Two mathematically identical formulations (tent weights ARE bilinear
+    taps), dispatched by backend at trace time:
+    - TPU: banded tent MATMULS — per-point dynamic slices inside a vmap
+      lower to gathers, which are the slow path on TPU; the MXU is idle
+      anyway.
+    - CPU (the test mesh): ONE (out_n+1)^2 dynamic slice + a 4-tap lerp —
+      ~8x faster than the matmuls (measured), and gathers are cheap
+      there. Callers clamp start <= S - out_n, so the slice start
+      clamps at most 1 row/col down with the fraction hitting exactly
+      1.0 — still exact bilinear.
+    """
     S = blk.shape[0]
-    wy = _tent_weights(start_y, out_n, S, blk.dtype)
-    wx = _tent_weights(start_x, out_n, S, blk.dtype)
-    return wy @ blk @ wx.T
+    if jax.default_backend() in ("tpu", "axon"):
+        wy = _tent_weights(start_y, out_n, S, blk.dtype)
+        wx = _tent_weights(start_x, out_n, S, blk.dtype)
+        return wy @ blk @ wx.T
+    iy = jnp.clip(jnp.floor(start_y), 0.0, S - out_n - 1).astype(jnp.int32)
+    ix = jnp.clip(jnp.floor(start_x), 0.0, S - out_n - 1).astype(jnp.int32)
+    fy = start_y - iy.astype(blk.dtype)
+    fx = start_x - ix.astype(blk.dtype)
+    big = jax.lax.dynamic_slice(blk, (iy, ix), (out_n + 1, out_n + 1))
+    a, b = big[:-1, :-1], big[:-1, 1:]
+    c, d = big[1:, :-1], big[1:, 1:]
+    return ((1.0 - fy) * (1.0 - fx) * a + (1.0 - fy) * fx * b
+            + fy * (1.0 - fx) * c + fy * fx * d)
 
 
 def _scharr_patch(tc):
