@@ -4,7 +4,6 @@ same trajectory the undistorted sequence gives — with zero standalone
 undistortion dispatches (the old path cost 2 round trips + 2 image
 downloads per frame)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
