@@ -37,8 +37,11 @@ _MARGIN = 11
 def _tent(start, out_n: int, in_n: int):
     """(out_n, in_n) bilinear resampling matrix (ops/lk.py _tent_weights),
     built with 2-D iotas (1-D iota is unsupported on TPU)."""
-    j = jax.lax.broadcasted_iota(jnp.float32, (out_n, in_n), 0)
-    i = jax.lax.broadcasted_iota(jnp.float32, (out_n, in_n), 1)
+    # integer iota + cast: Mosaic's tpu.iota only produces integers
+    j = jax.lax.broadcasted_iota(jnp.int32, (out_n, in_n), 0).astype(
+        jnp.float32)
+    i = jax.lax.broadcasted_iota(jnp.int32, (out_n, in_n), 1).astype(
+        jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(start + j - i))
 
 
@@ -69,6 +72,8 @@ def _make_kernel(H: int, W: int, win: int, iters: int, C: int):
     lim = float(S - win - 1)
 
     def kernel(pts_ref, seed_ref, img0_ref, img1_ref, out_ref):
+        # pts/seeds live in SMEM (scalar reads); results are built as
+        # (1, 3) vectors per point — Mosaic cannot store scalars to VMEM
         for j in range(C):
             p0x = pts_ref[j, 0]
             p0y = pts_ref[j, 1]
@@ -121,9 +126,11 @@ def _make_kernel(H: int, W: int, win: int, iters: int, C: int):
                       & (ly > 0.5) & (ly < lim - 0.5))
             lx = jnp.clip(lx, 0.0, lim)
             ly = jnp.clip(ly, 0.0, lim)
-            out_ref[j, 0] = lx + h + cx1
-            out_ref[j, 1] = ly + h + cy1
-            out_ref[j, 2] = (ok & inside).astype(jnp.float32)
+            row = jnp.concatenate(
+                [(lx + h + cx1).reshape(1, 1),
+                 (ly + h + cy1).reshape(1, 1),
+                 (ok & inside).astype(jnp.float32).reshape(1, 1)], axis=1)
+            out_ref[pl.ds(j, 1), :] = row
 
     return kernel
 
@@ -151,9 +158,9 @@ def lk_level_pallas(img0, img1, pts0, seeds, win: int, iters: int,
         grid=(Np // chunk,),
         in_specs=[
             pl.BlockSpec((chunk, 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk, 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((H, W), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, W), lambda i: (0, 0),

@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# On-chip A/B sweep of the flag-gated r4 perf work. Run when the axon
+# On-chip A/B sweep of the flag-gated perf work. Run when the axon
 # tunnel is live (jax.devices() responds); each config is one bench.py
 # run (the persistent compile cache makes repeats cheap after the first).
 #
@@ -7,9 +7,12 @@
 #
 # Prints one "<tag> <json>" line per config; pin the winners as defaults
 # (bench.py envs + EstimatorConfig) and record in CLAUDE.md/BENCH notes.
+#
+# Frame count must cover warmup (max(12, 2B+4)) plus >= 2 timed chunks
+# (chunk = max(2B, 8)) or bench.py reports 0.0 fps; 160 covers B <= 20.
 set -u
 cd "$(dirname "$0")/.."
-FRAMES=${1:-64}
+FRAMES=${1:-160}
 run() {
   local tag=$1; shift
   local out
@@ -19,13 +22,16 @@ run() {
 
 # r3-measured reference configuration
 run r3-base       BENCH_DCT_BITS=8 BENCH_BATCH=12
-# r4 defaults (int4 payloads)
+# int4 payloads (r4 flag)
 run int4          BENCH_DCT_BITS=4 BENCH_BATCH=12
 # Pallas LK kernel
 run pallas-lk     BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_PALLAS_LK=1
-# batch sweep at the smaller upload size
+# batch sweep, sync path
 run int4-b8       BENCH_DCT_BITS=4 BENCH_BATCH=8
 run int4-b16      BENCH_DCT_BITS=4 BENCH_BATCH=16
-run int4-b20      BENCH_DCT_BITS=4 BENCH_BATCH=20
-# pipelined frontend (wins only on locally-attached TPUs)
-run pipe          BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_PIPE=1
+# pipelined frontend sweep (r5 on-chip: the relay no longer serializes
+# fetches behind in-flight programs — pipe measured 62 fps vs 46 sync)
+run pipe-b8       BENCH_DCT_BITS=4 BENCH_BATCH=8  BENCH_PIPE=1
+run pipe-b12      BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_PIPE=1
+run pipe-b16      BENCH_DCT_BITS=4 BENCH_BATCH=16 BENCH_PIPE=1
+run pipe-int8     BENCH_DCT_BITS=8 BENCH_BATCH=12 BENCH_PIPE=1
