@@ -54,13 +54,18 @@ def main():
     pallas_lk = os.environ.get("BENCH_PALLAS_LK", "0") == "1"  # route LK
     # through the Pallas kernel (ops/pallas/lk.py); A/B knob for on-chip
     # sessions, default stays the r3-proven XLA block-fetch path
+    cond_kf = os.environ.get("BENCH_COND_KF", "1") == "1"  # lax.cond-skip
+    # of detection FLOPs on no-keyframe batches; A/B knob (at batch 12 @
+    # 10 Hz the 1.0 s time trigger fires every batch, so this is expected
+    # neutral at bench settings — measure, don't assume)
     cfg = EstimatorConfig(
         height=H, width=W, num_features=400, num_features_init=50,
         num_features_tracking_bad=20, num_features_needed_for_keyframe=120,
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
         ba_iters=5, frame_batch=batch,
         pipelined_flush=pipelined and batch > 1, dct_k=dct_k,
-        dct_quality=dct_q, dct_bits=dct_bits, pallas_lk=pallas_lk)
+        dct_quality=dct_q, dct_bits=dct_bits, pallas_lk=pallas_lk,
+        cond_kf_stage=cond_kf)
 
     # warmup on the SAME estimator (each Estimator instance creates fresh
     # jit closures, so a second instance would recompile everything);

@@ -261,6 +261,15 @@ def cmd_run(args):
 
     times, poses = est.trajectory()
     write_tum_csv(args.out, times, poses)
+    if getattr(args, "overview", ""):
+        from lvio_fusion_tpu.utils.viz import save_run_overview
+        up = (est.relocator.up_axis if est.relocator is not None
+              else est.cfg.lidar_up_axis)
+        save_run_overview(
+            args.overview, est.map, pose_graph=est.pose_graph,
+            navsat=est.navsat, up_axis=up,
+            title=f"{args.dataset} ({n} frames, {est.map.num_kfs} kfs)")
+        print(f"run overview -> {args.overview}", file=sys.stderr)
     print(f"{n} frames in {dt:.1f}s ({n / dt:.2f} fps), "
           f"{len(times)} keyframes -> {args.out}")
     if args.stats:
@@ -411,6 +420,11 @@ def main(argv=None):
                    help="dump tracking-feature overlay PNGs here (the "
                         "reference's live imshow view, offline)")
     r.add_argument("--overlay-every", type=int, default=10)
+    r.add_argument("--overview", default="",
+                   help="write a one-figure run overview PNG: path + "
+                        "landmark cloud + pose-graph sections + loop "
+                        "edges + navsat track (the reference's RViz "
+                        "views, offline; visualization.cpp:33-163)")
     r.add_argument("--replicas", type=int, default=1,
                    help="N independent SLAM streams on N devices "
                         "(multi-chip serving scale-out; synthetic only)")

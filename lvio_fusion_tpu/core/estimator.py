@@ -24,6 +24,8 @@ from lvio_fusion_tpu.geometry.se3 import (
     se3_identity, se3_inv, se3_mul, se3_slerp,
 )
 
+_SE3_ID = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+
 
 @dataclass
 class EstimatorConfig:
@@ -423,9 +425,13 @@ class Estimator:
     def _run_global_stage_impl(self):
         """Deterministic replacement for the reference's GlobalLoop thread
         (backend.cpp:42-94) + Relocator thread: pose-graph sectioning,
-        navsat section optimization + QuickFix, loop detection/correction."""
+        navsat section optimization + QuickFix, loop detection/correction,
+        then the Backend::UpdateFrontend-equivalent forward pass."""
+        from lvio_fusion_tpu.utils import np_se3
         m = self.map
         self.pose_graph.update_sections(m)
+        poses0 = m.poses_array().copy() if m.num_kfs else None
+        forward_start = m.num_kfs  # first kf of the rigid-only tail
 
         if self.navsat is not None:
             self.navsat.attach_keyframes(m)
@@ -434,14 +440,70 @@ class Estimator:
             if self.navsat.initialized:
                 sections = sorted(self.pose_graph.sections)
                 for a in sections[self._navsat_sections_done:]:
-                    self.navsat.optimize_section(
-                        m, self.pose_graph, self.pose_graph.sections[a])
+                    sec = self.pose_graph.sections[a]
+                    C = min(sec.C, m.num_kfs - 1)
+                    old_pose = m.kf_pose[C].copy()
+                    self.navsat.optimize_section(m, self.pose_graph, sec)
+                    # rigid forward propagation of the section's net
+                    # effect onto everything past C (GlobalLoop,
+                    # backend.cpp:60-70) so segments awaiting their own
+                    # optimization keep relative consistency
+                    T = np_se3.se3_mul(
+                        m.kf_pose[C], np_se3.se3_inv(old_pose)).astype(
+                            np.float32)
+                    if np.abs(T - _SE3_ID).max() > 1e-7:
+                        self.pose_graph.forward_update(m, T, C + 1)
+                        forward_start = min(forward_start, C + 1)
                 self._navsat_sections_done = len(sections)
-                self.navsat.quick_fix(m, self.pose_graph, m.num_kfs - 1)
+                fs = self.navsat.quick_fix(m, self.pose_graph,
+                                           m.num_kfs - 1)
+                if fs is not None:
+                    forward_start = min(forward_start, fs)
 
         if self.relocator is not None:
+            self.relocator.forward_start = 1 << 30
             self.relocator.process_keyframe(m, self.pose_graph,
                                             m.num_kfs - 1)
+            forward_start = min(forward_start, self.relocator.forward_start)
+
+        self._update_forward_keyframes(poses0, forward_start)
+
+    def _update_forward_keyframes(self, poses0, forward_start: int):
+        """Backend::UpdateFrontend equivalent after global corrections
+        (backend.cpp:248-293): refresh landmark world caches from moved
+        anchors, then re-solve each rigid-only tail keyframe's pose for
+        ONE GN iteration against the corrected map — the rigid shift
+        alone leaves the tail linearized against pre-correction geometry.
+        Host-side numpy (a few hundred projections per kf), so the
+        frontend never waits on an extra device dispatch."""
+        m = self.map
+        if poses0 is None or m.num_kfs == 0:
+            return
+        from lvio_fusion_tpu.core.hostmap import reworld_landmarks
+        n0 = len(poses0)
+        cur = m.poses_array()
+        changed = np.ones(m.num_kfs, bool)
+        changed[:n0] = np.abs(cur[:n0] - poses0).max(1) > 1e-7
+        if not changed.any():
+            return
+        reworld_landmarks(m, self.cam_right, changed)
+        if not self.cfg.forward_resolve:
+            return
+        from lvio_fusion_tpu.core.backend import pose_only_refine_np
+        resolved = np.zeros(m.num_kfs, bool)
+        for i in range(max(forward_start, 1), m.num_kfs):
+            lm = m.obs_lm[i]
+            if len(lm) < 8:
+                continue
+            pw = np.stack([m.lm_world[j] for j in lm])
+            m.kf_pose[i] = pose_only_refine_np(
+                m.kf_pose[i], pw, m.obs_px[i], m.obs_ok[i],
+                self.cam_left, iters=1, weight=self.cfg.visual_weight)
+            resolved[i] = True
+        if resolved.any():
+            # the re-solved tail kfs anchor landmarks of their own —
+            # keep the world cache coherent with the new anchors
+            reworld_landmarks(m, self.cam_right, resolved)
 
     def input_pointcloud(self, time: float, points):
         """Buffer one lidar scan (sensor-frame points)

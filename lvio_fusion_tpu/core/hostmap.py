@@ -146,3 +146,46 @@ class HostMap:
         m = cls()
         m.__dict__.update(d)
         return m
+
+
+def reworld_landmarks(m: HostMap, cam_right, changed_kf: np.ndarray) -> int:
+    """Recompute cached landmark world positions from their anchor poses.
+
+    ``lm_world`` is derived state: anchor right-cam pixel + inverse depth
+    (the reference recomputes it on every access, visual/landmark.cpp
+    Position()). Pose-graph / navsat / loop corrections move the anchor
+    keyframes, so the cache must follow — otherwise the next window BA's
+    pose-only factors and the covisibility matcher pull against the
+    pre-correction world. One vectorized numpy pass; no device dispatch.
+
+    ``changed_kf``: bool mask over kf indices whose pose moved. Returns
+    the number of landmarks refreshed.
+    """
+    L = m.num_landmarks
+    if L == 0 or not changed_kf.any():
+        return 0
+    anchors = np.asarray(m.lm_anchor, np.int64)
+    mask = np.asarray(m.lm_alive, bool) & changed_kf[anchors]
+    n = int(mask.sum())
+    if n == 0:
+        return 0
+    ids = np.nonzero(mask)[0]
+    first_ob = np.stack([m.lm_first_ob[i] for i in ids]).astype(np.float64)
+    depth = 1.0 / np.clip(
+        np.asarray([m.lm_inv_depth[i] for i in ids], np.float64), 1e-5, 1e3)
+    fx, fy = float(cam_right.fx), float(cam_right.fy)
+    cx, cy = float(cam_right.cx), float(cam_right.cy)
+    # pixel -> sensor (same undistorted chain the BA epilogue uses)
+    pc = np.stack([(first_ob[:, 0] - cx) / fx * depth,
+                   (first_ob[:, 1] - cy) / fy * depth, depth], -1)
+    # sensor -> robot -> world; anchor poses differ per landmark
+    from lvio_fusion_tpu.utils import np_se3
+    ext = np.asarray(cam_right.extrinsic, np.float64)
+    pb = np_se3.se3_apply_batch(ext, pc)
+    T = np.stack([m.kf_pose[a] for a in anchors[ids]]).astype(np.float64)
+    q, t = T[:, :4], T[:, 4:]
+    uv = np.cross(q[:, 1:], pb)
+    pw = pb + 2.0 * (q[:, :1] * uv + np.cross(q[:, 1:], uv)) + t
+    for k, i in enumerate(ids):
+        m.lm_world[i] = pw[k].astype(np.float32)
+    return n

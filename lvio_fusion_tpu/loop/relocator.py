@@ -64,6 +64,9 @@ class Relocator:
                                             up_axis=up_axis)
         # pending loop state (DetectorLoop statics)
         self._pending: Dict[int, int] = {}  # new kf -> old kf
+        # first kf of the rigid-only tail left by the latest correction
+        # (consumed + reset by the estimator's forward re-solve)
+        self.forward_start = 1 << 30
         # jitted visual PnP: without this, pose_only_refine would re-trace
         # an 8-iteration GN for EVERY loop candidate (shapes are fixed:
         # the estimator's feature capacity)
@@ -278,6 +281,10 @@ class Relocator:
         # (already covered: _apply_rigid above shifted [start, end]; kfs
         # after end follow the same rigid transform)
         pose_graph._apply_rigid(m, transform, end_idx + 1, m.num_kfs)
+        # the tail past the relocated submap got RIGID treatment only;
+        # report it so the estimator can run the 1-iteration forward
+        # re-solve (Backend::UpdateFrontend, backend.cpp:248-293)
+        self.forward_start = min(self.forward_start, end_idx + 1)
 
         # re-render world clouds at corrected poses
         for i in range(m.num_kfs):

@@ -228,7 +228,7 @@ class Navsat:
         """
         base, rel_p, fixp, valid = self._bc_tables(m, frame_idx, end_idx)
         if int(valid.sum()) < 3:
-            return
+            return False
         # distance gates (navsat.cpp:195-244): rotation needs path length
         dist = float(np.linalg.norm(
             m.kf_pose[min(end_idx, m.num_kfs - 1)][4:]
@@ -241,7 +241,7 @@ class Navsat:
         free[0] = False  # roll: keep flat (reference solves it separately
         # with a flatness residual then freezes it)
         if not free.any():
-            return
+            return False
         mask = jnp.asarray(free.astype(np.float32))
 
         # z correction bounded by the section's turn degree (soft prior:
@@ -256,6 +256,7 @@ class Navsat:
         from lvio_fusion_tpu.utils import np_se3
         transform = np_se3.se3_mul(new_pose, np_se3.se3_inv(old_pose))
         pose_graph._apply_rigid(m, transform, frame_idx + 1, end_idx + 1)
+        return True
 
     def optimize_section(self, m, pose_graph, section):
         """Full section refinement (Navsat::Optimize)."""
@@ -302,17 +303,22 @@ class Navsat:
                 m.kf_pose[i] = new_poses[s].astype(np.float32)
 
     def quick_fix(self, m, pose_graph, end_idx: int):
-        """Refine the live tail (Navsat::QuickFix)."""
+        """Refine the live tail (Navsat::QuickFix). Returns the index of
+        the first keyframe that received only the RIGID forward update
+        (everything past the solved anchor B), or None if nothing moved —
+        the estimator re-solves that tail against the map
+        (Backend::UpdateFrontend semantics, backend.cpp:248-293)."""
         if pose_graph.turning:
-            return
+            return None
         B = pose_graph.current.B
         if B >= end_idx:
-            return
+            return None
         dist = np.linalg.norm(m.kf_pose[end_idx][4:] - m.kf_pose[B][4:])
         if dist < self.trust_yaw:
-            return
-        self.optimize_bc(m, pose_graph, B, end_idx, [True] * 6,
-                         section_degree=pose_graph.current.degree)
+            return None
+        moved = self.optimize_bc(m, pose_graph, B, end_idx, [True] * 6,
+                                 section_degree=pose_graph.current.degree)
+        return B + 1 if moved else None
 
 
 from functools import partial

@@ -15,6 +15,17 @@ import os
 def enable_persistent_cache(path: str | None = None):
     import jax
 
+    # A test harness (tests/conftest.py) may have pinned the cache with
+    # WRITES disabled via a 1e9-second min-compile-time sentinel —
+    # XLA:CPU executable serialization can segfault late in long
+    # many-program processes, so the suite must stay write-free even
+    # when a test drives cli.main() or bench in-process. Detect the
+    # sentinel and leave the whole cache configuration untouched.
+    cur = getattr(jax.config, "jax_persistent_cache_min_compile_time_secs",
+                  None)
+    if cur is not None and cur >= 1e9:
+        return getattr(jax.config, "jax_compilation_cache_dir", None)
+
     path = path or os.environ.get(
         "LVIO_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache",

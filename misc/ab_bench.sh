@@ -29,8 +29,12 @@ run pallas-lk     BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_PALLAS_LK=1
 # batch sweep, sync path
 run int4-b8       BENCH_DCT_BITS=4 BENCH_BATCH=8
 run int4-b16      BENCH_DCT_BITS=4 BENCH_BATCH=16
-# pipelined frontend sweep (r5 on-chip: the relay no longer serializes
-# fetches behind in-flight programs — pipe measured 62 fps vs 46 sync)
+# conditional keyframe stage off (default ON; expected neutral at bench
+# settings since the 1.0 s time trigger fires every 12-frame batch)
+run no-cond-kf    BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_COND_KF=0
+# pipelined frontend sweep (r3 through-tunnel measurement said the relay
+# serializes fetches behind in-flight programs, making pipe SLOWER —
+# re-measure on-chip before trusting either way)
 run pipe-b8       BENCH_DCT_BITS=4 BENCH_BATCH=8  BENCH_PIPE=1
 run pipe-b12      BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_PIPE=1
 run pipe-b16      BENCH_DCT_BITS=4 BENCH_BATCH=16 BENCH_PIPE=1

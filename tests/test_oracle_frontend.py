@@ -99,8 +99,12 @@ def test_pose_only_refine_matches_f64_oracle():
     c_f32 = fun(x_f32)
     assert c_f32 <= MARGIN * best.fun + 1e-9, (c_f32, best.fun)
 
-    # sanity: the solve actually moved toward the truth and kept inliers
-    assert np.linalg.norm(x_f32[3:] - rv_true[3:]) < 0.02
+    # sanity: the solve lands at the f64 optimum (NOT at rv_true — the
+    # exact Huber optimum of this seeded instance sits 0.0288 m from the
+    # truth, so truth-distance is not what the solver controls) and the
+    # initial perturbation (0.22 m) was actually corrected
+    assert np.linalg.norm(x_f32[3:] - best.x[3:]) < 0.01
+    assert np.linalg.norm(x_f32[3:] - rv_true[3:]) < 0.06
     assert int(np.asarray(inl).sum()) >= N - 8 - 6
 
 
