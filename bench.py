@@ -21,20 +21,20 @@ def main():
     from lvio_fusion_tpu.datasets.synthetic import make_sequence
 
     H, W = int(os.environ.get("BENCH_H", 376)), int(os.environ.get("BENCH_W", 1241))
-    batch = int(os.environ.get("BENCH_BATCH", 12))  # sweep: 8 -> 34.6 fps,
-    # 12 -> 37.1, 16 -> 36.2 on the tunneled v5 lite chip (r3)
+    batch = int(os.environ.get("BENCH_BATCH", 12))  # r5 on-chip sweep:
+    # pipelined b10 -> 49.3, b12 -> 55.0/66.4, b14 -> 57.3 fps
     n_frames = int(os.environ.get("BENCH_FRAMES", 64))
     # dense blob field: KITTI-like feature richness (several hundred
     # trackable points per frame) so keyframe cadence is representative
     seq = make_sequence(num_frames=n_frames, H=H, W=W, num_points=3000,
                         fps=10.0, speed=1.4, seed=0)
-    # BENCH_PIPE=1 enables the lag-1 pipelined frontend. Default OFF for
-    # the tunneled chip: the axon relay serializes result fetches behind
-    # in-flight executions, so host processing cannot overlap device
-    # compute there (measured r3: 33.2 fps pipelined vs 37.1 sync at
-    # batch 12). On a locally-attached TPU the pipeline is the faster
-    # path.
-    pipelined = os.environ.get("BENCH_PIPE", "0") == "1"
+    # BENCH_PIPE=1 enables the lag-1 pipelined frontend — default ON
+    # since r5: the axon relay no longer serializes result fetches behind
+    # in-flight executions (r3 measured the opposite: 33.2 pipelined vs
+    # 37.1 sync; r5 re-measured 55-66 pipelined vs 47.6 sync at the same
+    # settings), so host processing overlaps device compute even through
+    # the tunnel. BENCH_PIPE=0 reverts to the sync flush path.
+    pipelined = os.environ.get("BENCH_PIPE", "1") == "1"
     # DCT-compressed image upload (ops/dct.py): the tunneled TPU's wire
     # bandwidth (~11-17 MB/s measured) makes the raw uint8 image upload
     # (5.6 MB per 12-frame flush) the throughput ceiling — compressing

@@ -1226,8 +1226,14 @@ class Estimator:
             self._kf_gyr += gyrs
         if h["discard"]:
             return
-        packed_np, kf_np, extras_np, vel_np = jax.device_get(
-            (h["packed"], h["kf"], h["extras"], h["vel"]))
+        from lvio_fusion_tpu.utils.profiling import TIMERS
+        with TIMERS.time("frontend.pipe.fetch"):
+            # blocks until the batch program has finished AND the result
+            # crossed the wire — this is device-residual + transfer time,
+            # not host work (split out so stats runs show which side of
+            # the pipeline is the throughput ceiling)
+            packed_np, kf_np, extras_np, vel_np = jax.device_get(
+                (h["packed"], h["kf"], h["extras"], h["vel"]))
         rows = [unpack_track_result(packed_np[b], N) for b in range(B)]
         assigned = extras_np[:N].astype(np.int32)
         need_kf = extras_np[N] > 0.5

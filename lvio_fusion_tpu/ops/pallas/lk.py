@@ -46,13 +46,36 @@ def _tent(start, out_n: int, in_n: int):
 
 
 def _resample(blk, sy, sx, out_n: int):
-    S = blk.shape[0]
-    wy = _tent(sy, out_n, S)
-    wx = _tent(sx, out_n, S)
+    R, C = blk.shape
+    wy = _tent(sy, out_n, R)
+    wx = _tent(sx, out_n, C)
     t = jax.lax.dot_general(wy, blk, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     return jax.lax.dot_general(t, wx, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
+
+
+# Mosaic vector loads need provably-aligned dynamic starts: multiples of
+# 8 on the sublane (row) dim and 128 on the lane (col) dim for f32. So
+# each block fetch loads an ALIGNED superblock and folds the residual
+# offset into the tent resampling matrices (translation-covariant — the
+# extra rows/cols get zero weight, so the math is unchanged).
+
+def _superdim(n_img: int, size: int, al: int) -> int:
+    """Superblock extent along one dim: size + al slack + however much
+    keeps n_img ≡ extent (mod al), so the clamp limit n_img - extent is
+    itself a multiple of al (provable alignment survives the clamp)."""
+    n = size + al + ((n_img - size) % al)
+    return n if n <= n_img else n_img
+
+
+def _aligned_origin(c, lim_sup: int, al: int):
+    """al-aligned superblock origin covering the clamped block origin
+    ``c`` (float). ``lim_sup`` = img_extent - superblock_extent, a
+    multiple of ``al`` by _superdim construction — Mosaic can prove
+    (min(x, k*al) // al) * al is a multiple of al."""
+    ci = c.astype(jnp.int32)
+    return (jnp.minimum(ci, lim_sup) // al) * al
 
 
 def _scharr(tc):
@@ -70,6 +93,11 @@ def _make_kernel(H: int, W: int, win: int, iters: int, C: int):
     S = win + _MARGIN
     TB = win + 4
     lim = float(S - win - 1)
+    # aligned superblock extents + their (aligned) clamp limits
+    RT, CT = _superdim(H, TB, 8), _superdim(W, TB, 128)
+    RS, CS = _superdim(H, S, 8), _superdim(W, S, 128)
+    LRT, LCT = H - RT, W - CT
+    LRS, LCS = H - RS, W - CS
 
     def kernel(pts_ref, seed_ref, img0_ref, img1_ref, out_ref):
         # pts/seeds live in SMEM (scalar reads); results are built as
@@ -81,11 +109,14 @@ def _make_kernel(H: int, W: int, win: int, iters: int, C: int):
             # --- template block fetch + subpixel shift + Scharr ---
             cx0 = jnp.clip(jnp.floor(p0x - (h + 1.0)), 0.0, float(W - TB))
             cy0 = jnp.clip(jnp.floor(p0y - (h + 1.0)), 0.0, float(H - TB))
-            blk0 = img0_ref[pl.ds(cy0.astype(jnp.int32), TB),
-                            pl.ds(cx0.astype(jnp.int32), TB)]
+            ax0 = _aligned_origin(cx0, LCT, 128)
+            ay0 = _aligned_origin(cy0, LRT, 8)
+            blk0 = img0_ref[pl.ds(ay0, RT), pl.ds(ax0, CT)]
+            dx0 = cx0 - ax0.astype(jnp.float32)
+            dy0 = cy0 - ay0.astype(jnp.float32)
             o0x = jnp.clip(p0x - (h + 1.0) - cx0, 0.0, float(TB - win - 2))
             o0y = jnp.clip(p0y - (h + 1.0) - cy0, 0.0, float(TB - win - 2))
-            tc = _resample(blk0, o0y, o0x, win + 2)
+            tc = _resample(blk0, o0y + dy0, o0x + dx0, win + 2)
             t = tc[1:-1, 1:-1]
             gx, gy = _scharr(tc)
 
@@ -104,14 +135,17 @@ def _make_kernel(H: int, W: int, win: int, iters: int, C: int):
             p1y = seed_ref[j, 1]
             cx1 = jnp.clip(jnp.floor(p1x) - (S // 2), 0.0, float(W - S))
             cy1 = jnp.clip(jnp.floor(p1y) - (S // 2), 0.0, float(H - S))
-            blk1 = img1_ref[pl.ds(cy1.astype(jnp.int32), S),
-                            pl.ds(cx1.astype(jnp.int32), S)]
+            ax1 = _aligned_origin(cx1, LCS, 128)
+            ay1 = _aligned_origin(cy1, LRS, 8)
+            blk1 = img1_ref[pl.ds(ay1, RS), pl.ds(ax1, CS)]
+            dx1 = cx1 - ax1.astype(jnp.float32)
+            dy1 = cy1 - ay1.astype(jnp.float32)
 
             def body(_, p):
                 px, py = p
                 lx = jnp.clip(px - h - cx1, 0.0, lim)
                 ly = jnp.clip(py - h - cy1, 0.0, lim)
-                w = _resample(blk1, ly, lx, win)
+                w = _resample(blk1, ly + dy1, lx + dx1, win)
                 diff = w - t
                 bx = jnp.sum(gx * diff)
                 by = jnp.sum(gy * diff)

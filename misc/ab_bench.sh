@@ -20,22 +20,26 @@ run() {
   echo "$tag $out"
 }
 
+# NOTE bench.py defaults BENCH_PIPE=1 since the r5 sweep (pipelined won
+# 55-66 fps vs 46-48 sync at b12/int4, misc/ab_r05*.log) — sync rows
+# below pin BENCH_PIPE=0 explicitly.
 # r3-measured reference configuration
-run r3-base       BENCH_DCT_BITS=8 BENCH_BATCH=12
+run r3-base       BENCH_DCT_BITS=8 BENCH_BATCH=12 BENCH_PIPE=0
 # int4 payloads (r4 flag)
-run int4          BENCH_DCT_BITS=4 BENCH_BATCH=12
-# Pallas LK kernel
+run int4          BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_PIPE=0
+# Pallas LK kernel (r5: compiles+runs on-chip after the Mosaic aligned-
+# superblock fix, but LOSES to the XLA block-fetch path — see CLAUDE.md)
 run pallas-lk     BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_PALLAS_LK=1
 # batch sweep, sync path
-run int4-b8       BENCH_DCT_BITS=4 BENCH_BATCH=8
-run int4-b16      BENCH_DCT_BITS=4 BENCH_BATCH=16
+run int4-b8       BENCH_DCT_BITS=4 BENCH_BATCH=8  BENCH_PIPE=0
+run int4-b16      BENCH_DCT_BITS=4 BENCH_BATCH=16 BENCH_PIPE=0
 # conditional keyframe stage off (default ON; expected neutral at bench
 # settings since the 1.0 s time trigger fires every 12-frame batch)
-run no-cond-kf    BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_COND_KF=0
+run no-cond-kf    BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_COND_KF=0 BENCH_PIPE=0
 # pipelined frontend sweep (r3 through-tunnel measurement said the relay
 # serializes fetches behind in-flight programs, making pipe SLOWER —
-# re-measure on-chip before trusting either way)
-run pipe-b8       BENCH_DCT_BITS=4 BENCH_BATCH=8  BENCH_PIPE=1
-run pipe-b12      BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_PIPE=1
-run pipe-b16      BENCH_DCT_BITS=4 BENCH_BATCH=16 BENCH_PIPE=1
-run pipe-int8     BENCH_DCT_BITS=8 BENCH_BATCH=12 BENCH_PIPE=1
+# r5 re-measured the opposite; keep both axes for future relay changes)
+run pipe-b8       BENCH_DCT_BITS=4 BENCH_BATCH=8
+run pipe-b12      BENCH_DCT_BITS=4 BENCH_BATCH=12
+run pipe-b16      BENCH_DCT_BITS=4 BENCH_BATCH=16
+run pipe-int8     BENCH_DCT_BITS=8 BENCH_BATCH=12
