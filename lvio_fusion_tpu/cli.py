@@ -21,13 +21,17 @@ import time as _time
 import numpy as np
 
 
-def _build_synthetic(args):
+def _build_synthetic(args, scene=None):
+    """``scene``: optional make_sequence overrides — the RL trainer uses
+    distinct scene FAMILIES (texture density, occluders, turn geometry)
+    so the learned weight policy generalizes beyond one scene."""
     from lvio_fusion_tpu.core.estimator import Estimator, EstimatorConfig
     from lvio_fusion_tpu.datasets.synthetic import make_sequence
 
-    seq = make_sequence(num_frames=args.frames, H=240, W=360,
-                        num_points=400, seed=0,
-                        with_imu=args.imu, with_lidar=args.lidar)
+    kw = dict(num_frames=args.frames, H=240, W=360, num_points=400,
+              seed=0, with_imu=args.imu, with_lidar=args.lidar)
+    kw.update(scene or {})
+    seq = make_sequence(**kw)
     cfg = EstimatorConfig(
         height=240, width=360, num_features=200, num_features_init=30,
         num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
@@ -234,10 +238,29 @@ def cmd_run(args):
         print(f"resumed from {args.load_state}: {est.map.num_kfs} kfs",
               file=sys.stderr)
 
+    init_odom = None
+    if getattr(args, "init_odom", ""):
+        # external fused-odometry stream as per-frame initial pose guess
+        # (the reference's ESKF subscription, lvio_fusion_node.cpp:215 +
+        # get_pose_from_path:98-126: nearest-following pose, re-based to
+        # the first pose so the guess starts at identity)
+        from lvio_fusion_tpu.utils import np_se3
+        from lvio_fusion_tpu.utils.trajectory import read_tum
+        ot, op = read_tum(args.init_odom)
+        inv0 = np_se3.se3_inv(op[0])
+        op = np.stack([np_se3.se3_mul(p, inv0) for p in op])
+        init_odom = (ot, op.astype(np.float32))
+        print(f"init odometry: {len(ot)} poses from {args.init_odom}",
+              file=sys.stderr)
+
     n = 0
     t0 = _time.perf_counter()
     for t, left, right in stream:
-        est.input_image(t, left, right)
+        ip = None
+        if init_odom is not None:
+            j = int(np.searchsorted(init_odom[0], t, side="right"))
+            ip = init_odom[1][min(j, len(init_odom[1]) - 1)]
+        est.input_image(t, left, right, init_pose=ip)
         n += 1
         if args.overlay_dir and n % max(args.overlay_every, 1) == 0:
             # tracking-feature overlay (the reference's imshow("tracking"))
@@ -279,37 +302,66 @@ def cmd_run(args):
             print(f"counter {k}: {v}", file=sys.stderr)
 
 
+# synthetic scene FAMILIES for RL training (texture density, occluders,
+# turn geometry — the axes the reference paper's adaptive weighting
+# claims to handle, rl_fusion env.py scene setup) + a held-out family
+# with intermediate parameters for evaluation
+RL_SCENES = {
+    "dense": dict(seed=0),
+    "sparse": dict(num_points=140, pixel_noise=0.02, seed=21),
+    "occluded": dict(num_occluders=5, exposure_drift=0.15, seed=22),
+    "turns": dict(yaw_rate=0.12, speed=1.0, seed=23),
+}
+RL_HELD_OUT = dict(num_points=200, num_occluders=2, yaw_rate=0.08,
+                   pixel_noise=0.01, seed=31)
+
+
+def _scene_tables(args, scene, drift_seed):
+    """Run the full LVIO pipeline on one synthetic scene and build its
+    environment tables (Environment::Init over that map)."""
+    from lvio_fusion_tpu.adapt.environment import tables_from_map
+    est, stream, seq = _build_synthetic(args, scene=scene)
+    for t, left, right in stream:
+        est.input_image(t, left, right)
+    est.finalize()
+    lm = getattr(est, "lidar_mapping", None)
+    return est, tables_from_map(
+        est.map, seq.gt_times, seq.gt_poses, est.cam_right,
+        height=240, width=360, lidar_mapping=lm, drift=args.drift,
+        drift_seed=drift_seed)
+
+
 def cmd_train_rl(args):
     import jax
 
     from lvio_fusion_tpu.adapt.agent import save_policy
-    from lvio_fusion_tpu.adapt.environment import VectorEnv, tables_from_map
+    from lvio_fusion_tpu.adapt.environment import (
+        VectorEnv, stack_realizations, with_drift,
+    )
     from lvio_fusion_tpu.adapt.td3 import TD3, train_td3
 
-    est, stream, seq = _build_synthetic(args)
-    for t, left, right in stream:
-        est.input_image(t, left, right)
-    est.finalize()
-
-    lm = getattr(est, "lidar_mapping", None)
-    # train across SEVERAL drift realizations (concatenated along the
-    # keyframe axis) so the policy learns the weight->accuracy mapping,
-    # not one particular drift walk; eval uses a held-out realization.
-    # Only poses_init depends on the walk, so one table build serves all
-    # realizations (environment.with_drift / stack_realizations).
-    from lvio_fusion_tpu.adapt.environment import (
-        stack_realizations, with_drift,
-    )
-    base = tables_from_map(est.map, seq.gt_times, seq.gt_poses,
-                           est.cam_right, height=240, width=360,
-                           lidar_mapping=lm, drift=args.drift,
-                           drift_seed=0)
-    tables = stack_realizations(
-        [base] + [with_drift(base, args.drift, s) for s in (2, 3, 4, 5)])
+    # train across scene families x drift realizations (concatenated
+    # along the keyframe axis — one batched env program evaluates all);
+    # eval uses a held-out scene family AND held-out drift walks.
+    scenes = (list(RL_SCENES.items()) if args.multi_scene
+              else [("dense", RL_SCENES["dense"])])
+    tables_list = []
+    est = None
+    for name, sc in scenes:
+        est, base = _scene_tables(args, sc, drift_seed=0)
+        tables_list += [base] + [with_drift(base, args.drift, s)
+                                 for s in (2, 3)]
+        print(f"scene '{name}': {est.map.num_kfs} kfs, "
+              f"{est.map.num_landmarks} landmarks", file=sys.stderr)
+    tables = stack_realizations(tables_list)
     env = VectorEnv(tables, est.cam_left, num_envs=args.envs,
                     horizon=10, weight_reg=args.weight_reg)
-    # held-out evaluation instances: a DIFFERENT drift realization
-    eval_tables = with_drift(base, args.drift, 1)
+    if args.multi_scene:
+        # held-out family never seen in training
+        _, eval_base = _scene_tables(args, RL_HELD_OUT, drift_seed=1)
+        eval_tables = eval_base
+    else:
+        eval_tables = with_drift(tables_list[0], args.drift, 1)
     eval_env = VectorEnv(eval_tables, est.cam_left,
                          num_envs=max(args.envs, 8), horizon=10,
                          weight_reg=args.weight_reg)
@@ -420,6 +472,11 @@ def main(argv=None):
                    help="dump tracking-feature overlay PNGs here (the "
                         "reference's live imshow view, offline)")
     r.add_argument("--overlay-every", type=int, default=10)
+    r.add_argument("--init-odom", default="",
+                   help="TUM-format CSV of an external fused-odometry "
+                        "stream (e.g. an ESKF) used as the per-frame "
+                        "initial pose guess (the reference's use_eskf "
+                        "subscription)")
     r.add_argument("--overview", default="",
                    help="write a one-figure run overview PNG: path + "
                         "landmark cloud + pose-graph sections + loop "
@@ -454,6 +511,10 @@ def main(argv=None):
                         "weights from the per-frame defaults (keeps the "
                         "policy's weights in ranges that help END-TO-END "
                         "ATE, not just the pose-only env proxy)")
+    t.add_argument("--multi-scene", action="store_true",
+                   help="train across 4 scene families (texture density, "
+                        "occluders, turn geometry) and evaluate on a "
+                        "held-out family instead of one scene")
     t.add_argument("--out", default="td3.pkl")
     t.set_defaults(fn=cmd_train_rl)
 
