@@ -1231,9 +1231,16 @@ class Estimator:
             # blocks until the batch program has finished AND the result
             # crossed the wire — this is device-residual + transfer time,
             # not host work (split out so stats runs show which side of
-            # the pipeline is the throughput ceiling)
-            packed_np, kf_np, extras_np, vel_np = jax.device_get(
-                (h["packed"], h["kf"], h["extras"], h["vel"]))
+            # the pipeline is the throughput ceiling). The PREVIOUS
+            # keyframe's in-flight BA result rides the same sync (each
+            # extra device_get is a full slow-mode relay sync, ~30 ms).
+            pend = self._pending_ba
+            extra = (pend.flat,) if pend is not None else ()
+            got = jax.device_get(
+                (h["packed"], h["kf"], h["extras"], h["vel"]) + extra)
+            packed_np, kf_np, extras_np, vel_np = got[:4]
+            if pend is not None:
+                self._pending_ba = pend._replace(flat=got[-1])
         rows = [unpack_track_result(packed_np[b], N) for b in range(B)]
         assigned = extras_np[:N].astype(np.int32)
         need_kf = extras_np[N] > 0.5
