@@ -60,24 +60,82 @@ def ic_angles(blurred, pts):
     return jnp.arctan2(m01, m10)
 
 
+# ---- per-keypoint patch sampling (TPU fast path) --------------------
+#
+# bilinear_sample of the full image at (N, S) scattered coordinates
+# lowers to ~4*N*S random HBM gathers — measured 22.6 ms of the 30.3 ms
+# keyframe stage on-chip at N=400. Every sample of one keypoint lives
+# within +-22 px of it, so instead: ONE contiguous dynamic-slice patch
+# per keypoint, then separable bilinear as two dense contractions over
+# the patch rows/cols (tent weights = exact linear-interp weights, <= 2
+# nonzeros per row) — MXU matmuls instead of gathers.
+
+_PR = 23                # patch half-extent: max |offset| 15*sqrt(2)+1
+_PS = 2 * _PR + 2       # patch size (48)
+
+
+def _extract_patches(img, pts):
+    """(N, _PS, _PS) patches + their (N, 2) float origins (clamped)."""
+    H, W = img.shape
+    o = jnp.clip(jnp.floor(pts) - _PR,
+                 0.0, jnp.asarray([W - _PS, H - _PS], jnp.float32))
+    oi = o.astype(jnp.int32)
+    patches = jax.vmap(
+        lambda q: jax.lax.dynamic_slice(img, (q[1], q[0]), (_PS, _PS)))(oi)
+    return patches, o
+
+
+def _patch_bilinear(patches, local):
+    """Sample (N, _PS, _PS) patches at local (N, S, 2) [x, y] coords.
+
+    Exact bilinear (border-clamped to the patch): out[n, s] =
+    sum_rc wy[n,s,r] * patch[n,r,c] * wx[n,s,c] with tent weights."""
+    lx = jnp.clip(local[..., 0], 0.0, _PS - 1.001)
+    ly = jnp.clip(local[..., 1], 0.0, _PS - 1.001)
+    r = jnp.arange(_PS, dtype=jnp.float32)
+    wy = jnp.clip(1.0 - jnp.abs(ly[..., None] - r), 0.0, 1.0)  # (N, S, PS)
+    wx = jnp.clip(1.0 - jnp.abs(lx[..., None] - r), 0.0, 1.0)
+    t = jnp.einsum("nsr,nrc->nsc", wy, patches,
+                   preferred_element_type=jnp.float32)
+    return jnp.sum(t * wx, axis=-1)
+
+
 def brief_descriptors(img, pts, valid):
     """Compute steered descriptors at pts (N, 2) on a blurred image.
 
     Returns (desc (N, 8) uint32, ok (N,) bool) — ok requires the whole
-    pattern window inside the image.
+    pattern window inside the image. For ok points the patch fast path
+    samples the same pixels as full-image bilinear (the patch covers
+    every test endpoint); border points get patch-clamped samples but
+    are marked not ok anyway.
     """
     H, W = img.shape
     blurred = gaussian_blur5(gaussian_blur5(img))
     pat = jnp.asarray(_pattern())  # (256, 2, 2)
-    # steer the pattern by each keypoint's intensity-centroid angle
-    theta = ic_angles(blurred, pts)            # (N,)
+    if H >= _PS and W >= _PS:
+        patches, orig = _extract_patches(blurred, pts)
+        base = (pts - orig)[:, None, :]  # keypoint in patch coords
+        off = jnp.asarray(_ic_offsets())  # (P, 2)
+        vals = _patch_bilinear(patches, base + off[None, :, :])
+        m10 = jnp.sum(vals * off[None, :, 0], axis=-1)
+        m01 = jnp.sum(vals * off[None, :, 1], axis=-1)
+        theta = jnp.arctan2(m01, m10)
+    else:
+        patches = None
+        theta = ic_angles(blurred, pts)  # tiny-image fallback
     c, s = jnp.cos(theta), jnp.sin(theta)
     R = jnp.stack([jnp.stack([c, -s], -1),
                    jnp.stack([s, c], -1)], -2)  # (N, 2, 2)
     pat_r = jnp.einsum("nij,ptj->npti", R, pat)  # (N, 256, 2, 2)
     # sample both endpoints of every test for every keypoint
-    coords = pts[:, None, None, :] + pat_r      # (N, 256, 2, 2)
-    vals = bilinear_sample(blurred, coords)  # (N, 256, 2)
+    if patches is not None:
+        loc = base[:, :, None, :] + pat_r       # (N, 256, 2, 2)
+        vals = _patch_bilinear(
+            patches, loc.reshape(loc.shape[0], -1, 2)
+        ).reshape(pat_r.shape[:-1])             # (N, 256, 2)
+    else:
+        coords = pts[:, None, None, :] + pat_r  # (N, 256, 2, 2)
+        vals = bilinear_sample(blurred, coords)  # (N, 256, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (N, 256)
     weights = jnp.left_shift(
         jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))

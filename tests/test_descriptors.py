@@ -44,6 +44,32 @@ def test_descriptors_match_under_shift():
     assert correct.mean() > 0.9, correct.mean()
 
 
+def test_patch_bilinear_matches_full_image_gathers():
+    """The patch fast path (_extract_patches + _patch_bilinear, the MXU
+    replacement for full-image gathers) must reproduce bilinear_sample
+    exactly (same 4 pixels, same tent weights) for every sample whose
+    keypoint is >= _PR+1 inside the image."""
+    from lvio_fusion_tpu.ops.descriptors import (
+        _PR, _extract_patches, _patch_bilinear,
+    )
+    from lvio_fusion_tpu.ops.image import bilinear_sample
+
+    H, W, N, S = 96, 160, 23, 57
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(
+        [_PR + 1, _PR + 1], [W - _PR - 2, H - _PR - 2],
+        (N, 2)).astype(np.float32))
+    rel = jnp.asarray(rng.uniform(-22, 22, (N, S, 2)).astype(np.float32))
+
+    patches, orig = _extract_patches(img, pts)
+    got = _patch_bilinear(patches, (pts - orig)[:, None, :] + rel)
+    want = bilinear_sample(img, pts[:, None, :] + rel)
+    # same 4 pixels and tent weights; f32 association order differs
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-4)
+
+
 def test_descriptors_match_under_rotation():
     """Steered BRIEF (intensity-centroid orientation, extractor.cpp:66-93):
     the same physical points must still match after a 30-degree in-plane
