@@ -149,12 +149,16 @@ def make_decoder(H: int, W: int, K: int = 16, quality: int = 92,
     dispatches. ``bits`` = 4 reads nibble-packed AC coefficients (two per
     byte, see ``encode``'s int4 mode)."""
     Hp, Wp, nb = dct_grid(H, W)
-    qv = jnp.asarray(_qvec(quality)[:K])
-    # inverse zigzag: where each of the K kept coeffs lands in the 8x8
+    # Fold dequantization + inverse zigzag + 2-D IDCT into ONE (K, 64)
+    # matrix: img_blk = D.T @ coef @ D is linear in the coefficients, so
+    # vec(img_blk) = vec(coef) @ kron(D, D) (row-major vecs). The tiny
+    # batched 8x8 matmuls underuse the MXU; a single (nb, K) @ (K, 64)
+    # contraction is one well-shaped matmul.
     scatter = np.zeros((K, 64), np.float32)
     scatter[np.arange(K), _ZIGZAG[:K]] = 1.0
-    scatter_j = jnp.asarray(scatter)
-    D = jnp.asarray(_D8)
+    M = jnp.asarray(
+        (_qvec(quality)[:K, None] * scatter
+         @ np.kron(_D8, _D8).astype(np.float64)).astype(np.float32))
 
     def _u8(col):
         """Unsigned value of an int8 column."""
@@ -180,10 +184,8 @@ def make_decoder(H: int, W: int, K: int = 16, quality: int = 92,
                 payload.shape[0], 2 * nac)[:, :K - 1].astype(jnp.float32)
         s = _u8(payload[:, 2 + nac]).astype(jnp.float32)[:, None]
         zz = jnp.concatenate(
-            [dc.astype(jnp.float32)[:, None], ac * s], axis=1) * qv
-        flat = zz @ scatter_j                       # (nb, 64) row-major
-        blk = flat.reshape(nb, 8, 8)
-        img = D.T @ blk @ D + 128.0                 # inverse DCT
+            [dc.astype(jnp.float32)[:, None], ac * s], axis=1)
+        img = zz @ M + 128.0                        # (nb, 64) pixels
         img = (img.reshape(Hp // 8, Wp // 8, 8, 8)
                .transpose(0, 2, 1, 3).reshape(Hp, Wp))
         return jnp.clip(img, 0.0, 255.0)

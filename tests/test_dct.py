@@ -53,6 +53,38 @@ def _roundtrip(img, K, quality, bits=8):
     return out
 
 
+def test_fused_idct_matches_explicit():
+    """make_decoder folds dequant + inverse-zigzag + 2-D IDCT into one
+    (K, 64) matmul; it must match the explicit scatter + D.T @ blk @ D
+    formulation to f32 rounding."""
+    from lvio_fusion_tpu.ops.dct import _D8, _ZIGZAG, _qvec, ac_bytes
+
+    H, W, K, quality, bits = 48, 64, 16, 92, 8
+    img = _blob_image(H, W, 3)
+    payload = encode(img, K, quality, bits)
+    got = np.asarray(make_decoder(H, W, K, quality, bits)(
+        jnp.asarray(payload)))
+
+    # explicit reference decode in numpy
+    nb = payload.shape[0]
+    nac = ac_bytes(K, bits)
+    p = payload.astype(np.int32)
+    dc = p[:, 1] * 256 + (p[:, 0] & 0xFF)
+    ac = p[:, 2:K + 1].astype(np.float64)
+    s = (p[:, 2 + nac] & 0xFF).astype(np.float64)[:, None]
+    zz = np.concatenate([dc[:, None].astype(np.float64), ac * s], axis=1)
+    zz = zz * _qvec(quality)[:K]
+    coef = np.zeros((nb, 64))
+    coef[:, _ZIGZAG[:K]] = zz
+    blk = coef.reshape(nb, 8, 8)
+    D = _D8.astype(np.float64)
+    out = np.einsum("pu,nuv,vq->npq", D.T, blk, D) + 128.0
+    Hp, Wp, _ = dct_grid(H, W)
+    want = np.clip(out.reshape(Hp // 8, Wp // 8, 8, 8)
+                   .transpose(0, 2, 1, 3).reshape(Hp, Wp), 0.0, 255.0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
+
+
 def test_roundtrip_quality():
     H, W = 120, 200
     img = _blob_image(H, W, 0)
