@@ -663,6 +663,12 @@ class Estimator:
             return img
         return np.clip(img * 255.0, 0, 255).astype(np.uint8)
 
+    def _stage_payload(self, img):
+        """Worker-thread encode + async device_put of one image payload
+        (the put enqueues the wire transfer immediately; the returned
+        device array is passed straight into the flush program)."""
+        return jax.device_put(self._dct(img))
+
     def _img_dev(self, img):
         """Device payload for one image: the raw u8 array, or the
         (nb, K+2) int8 DCT payload when cfg.dct_k is enabled
@@ -845,15 +851,22 @@ class Estimator:
         keyframe map at flush time."""
         from lvio_fusion_tpu.utils import np_se3
         if self._pipe_step is not None:
-            # pre-stage the upload NOW (async device_put): the transfer
-            # overlaps the in-flight batch's compute instead of blocking
-            # the flush dispatch for ~100 ms of tunnel bandwidth
-            staged = (self._enc_pool.submit(self._dct, img_left_u8)
+            # pre-stage encode AND device_put NOW (worker thread): the
+            # transfer enqueues while the in-flight batch computes instead
+            # of paying B separate slow-mode puts at flush dispatch
+            staged = (self._enc_pool.submit(self._stage_payload,
+                                            img_left_u8)
                       if self._dct is not None
                       else jax.device_put(img_left_u8))
-            self._fbuf.append((float(time), staged,
-                               self._to_u8(img_right)))
-            if len(self._fbuf) >= self.cfg.frame_batch:
+            right = self._to_u8(img_right)
+            flushing = len(self._fbuf) + 1 >= self.cfg.frame_batch
+            if flushing and self._dct is not None:
+                # only the flush frame's right image enters the keyframe
+                # stage — stage its encode+put so it overlaps the
+                # dispatch-side arg packing
+                right = self._enc_pool.submit(self._stage_payload, right)
+            self._fbuf.append((float(time), staged, right))
+            if flushing:
                 return self._flush_pipe()
         else:
             # encode at buffering time (the pool overlaps per-frame
@@ -1108,7 +1121,7 @@ class Estimator:
         # handles and enter the keyframe buffers at PROCESSING time (the
         # host's _kf buffers must stay in batch order)
         C = self._batch_imu_cap
-        imu_args = ()
+        imu_parts = []
         imu_samples = []
         if c.use_imu:
             imu_acc = np.zeros((B, max(C, 1), 3), np.float32)
@@ -1136,9 +1149,9 @@ class Estimator:
                 t_prev = tb
             self._pipe_imu_anchor = anchor
             if C:
-                imu_args = (jnp.asarray(imu_acc), jnp.asarray(imu_gyr),
-                            jnp.asarray(imu_dt), jnp.asarray(imu_on),
-                            jnp.asarray(self.cur_bias))
+                imu_parts = [self.cur_bias.astype(np.float32),
+                             imu_on.astype(np.float32), imu_acc.ravel(),
+                             imu_gyr.ravel(), imu_dt.ravel()]
 
         if self._pipe is None:
             # seed a fresh chain from the host mirror
@@ -1188,17 +1201,22 @@ class Estimator:
         self._pipe_gen += 1
         dts = np.diff([t_prev0 if t_prev0 is not None else times[0]]
                       + times).astype(np.float32)
+        # ONE f32 + ONE i32 upload for all small per-flush args (each
+        # separate jnp.asarray is a full slow-mode relay enqueue)
+        aux_f32 = np.concatenate(
+            [corr.astype(np.float32),
+             np.array([1.0 if use_corr else 0.0], np.float32),
+             dts, lm_refresh.ravel()] + imu_parts).astype(np.float32)
+        aux_i32 = np.concatenate(
+            [refresh_gen, kill_gen,
+             np.array([gen], np.int32)]).astype(np.int32)
         p = self._pipe
         out = self._pipe_step(
             tuple(self._img_dev(l) for _, l, _ in buf),
             self._img_dev(buf[-1][2]),
             p["pyr"], p["feat_px"], p["feat_valid"], p["feat_gen"],
             p["lm_world"], p["pose"], p["relative"], p["vel"],
-            p["t_since_kf"],
-            jnp.asarray(corr), jnp.asarray(use_corr),
-            jnp.asarray(lm_refresh), jnp.asarray(refresh_gen),
-            jnp.asarray(kill_gen), jnp.int32(gen), jnp.asarray(dts),
-            *imu_args)
+            p["t_since_kf"], jnp.asarray(aux_f32), jnp.asarray(aux_i32))
         (pyr, fpx, fval, fgen, lmw, pose, rel, vel, t_since,
          packed, kf_packed, extras) = out
         self._pipe = dict(pyr=pyr, feat_px=fpx, feat_valid=fval,
@@ -1316,20 +1334,28 @@ class Estimator:
         tracked_ids = set(self.feat_lm[trk].tolist())
         pairs = dict(self._covis_match(kf_idx, det_px, det_mask, desc,
                                        desc_ok, pose, tracked_ids))
-        for s, d in zip(slots, dets):
-            d = int(d)
-            if d in pairs:
-                lid = pairs[d]
+        # vectorized allocation: one add_landmarks for all NEW detections
+        # and one add_observations for the whole set (the per-det loop's
+        # repeated np.concatenate was O(dets^2) host copying per flush)
+        dets = dets.astype(np.int64)
+        lids = np.full(len(dets), -1, np.int64)
+        new_rows = []
+        for i, d in enumerate(dets):
+            lid = pairs.get(int(d))
+            if lid is None:
+                new_rows.append(i)
             else:
-                lid = int(m.add_landmarks(
-                    kf_idx, det_px_r[d:d + 1], det_px[d:d + 1],
-                    inv_d[d:d + 1], world[d:d + 1],
-                    descs=[desc[d] if desc_ok[d] else None])[0])
-            m.add_observations(kf_idx, [lid], [det_px[d]])
-            self.feat_lm[s] = lid
-            self.feat_px[s] = det_px[d]
-            self.feat_valid[s] = True
-            self._slot_gen[s] = h["gen"]
+                lids[i] = lid
+        if new_rows:
+            nd = dets[new_rows]
+            lids[new_rows] = m.add_landmarks(
+                kf_idx, det_px_r[nd], det_px[nd], inv_d[nd], world[nd],
+                descs=[desc[d] if desc_ok[d] else None for d in nd])
+        m.add_observations(kf_idx, lids, det_px[dets])
+        self.feat_lm[slots] = lids
+        self.feat_px[slots] = det_px[dets]
+        self.feat_valid[slots] = True
+        self._slot_gen[slots] = h["gen"]
         self.last_kf_time = times[-1]
 
         if (self.relocator is not None and self.relocator.mode & 1):
@@ -1338,8 +1364,7 @@ class Estimator:
             # the per-track descriptor pass of the synchronous path is
             # not available here, but detections cover the same frame
             lm_of_det = np.full(len(kf_np), -1, np.int64)
-            for s, d in zip(slots, dets):
-                lm_of_det[int(d)] = self.feat_lm[s]
+            lm_of_det[dets] = lids
             m.kf_desc[kf_idx] = {
                 "desc": desc.copy(), "ok": desc_ok & det_mask,
                 "px": det_px.copy(), "lm": lm_of_det,

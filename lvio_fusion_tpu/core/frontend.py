@@ -528,11 +528,32 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         @jax.jit
         def pipe_step(imgs_u8, img_right_u8, pyr_last, feat_px, feat_valid,
                       feat_gen, lm_world, pose, relative, vel, t_since_kf,
-                      corr, use_corr, lm_refresh, refresh_gen, kill_gen,
-                      batch_gen, frame_dts,
-                      imu_acc=None, imu_gyr=None, imu_dt=None, imu_on=None,
-                      bias=None):
+                      aux_f32, aux_i32):
             N = feat_px.shape[0]
+            C = imu_cap
+            # ---- unpack the two flat host uploads (every separate
+            # device_put is a 1-4 ms relay enqueue in the tunnel's slow
+            # mode, so the host packs ALL small per-flush args into one
+            # f32 + one i32 buffer; slicing here is free after fusion) ----
+            corr = aux_f32[0:7]
+            use_corr = aux_f32[7] > 0.5
+            frame_dts = aux_f32[8:8 + B]
+            _o = 8 + B
+            lm_refresh = aux_f32[_o:_o + 3 * N].reshape(N, 3)
+            _o += 3 * N
+            if imu_cap:
+                bias = aux_f32[_o:_o + 6]
+                _o += 6
+                imu_on = aux_f32[_o:_o + B] > 0.5
+                _o += B
+                imu_acc = aux_f32[_o:_o + B * C * 3].reshape(B, C, 3)
+                _o += B * C * 3
+                imu_gyr = aux_f32[_o:_o + B * C * 3].reshape(B, C, 3)
+                _o += B * C * 3
+                imu_dt = aux_f32[_o:_o + B * C].reshape(B, C)
+            refresh_gen = aux_i32[:N]
+            kill_gen = aux_i32[N:2 * N]
+            batch_gen = aux_i32[2 * N]
             # ---- injections ----
             pose = jnp.where(use_corr, se3_mul(corr, pose), pose)
             lm_world = jnp.where(

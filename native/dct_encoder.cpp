@@ -18,6 +18,9 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#if defined(__SSE4_1__) || (defined(__AVX2__) && defined(__FMA__))
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -44,7 +47,18 @@ struct DctTables {
 };
 const DctTables kTab;
 
+#if defined(__SSE4_1__)
+// round-half-even in one instruction: std::nearbyintf is an outlined
+// libm call (it must honor the dynamic rounding mode), and the ~117k
+// calls per KITTI frame dominated the encode profile
+inline float rint_f(float x) {
+  return _mm_cvtss_f32(_mm_round_ss(
+      _mm_set_ss(x), _mm_set_ss(x),
+      _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC));
+}
+#else
 inline float rint_f(float x) { return std::nearbyintf(x); }  // half-even
+#endif
 
 }  // namespace
 
@@ -66,21 +80,56 @@ int lvio_dct_encode(const unsigned char *img, int Hp, int Wp,
   const int row_bytes = 2 + nac + 1;
   const float lim = (bits == 8) ? 127.0f : 7.0f;
 
+  // only the first K zigzag coefficients survive quantization, and they
+  // live in the top-left corner of the 8x8 spectrum: bound both DCT
+  // passes to the rows/cols actually referenced (K=16 -> 5 rows x 6
+  // cols, ~45% fewer mul-adds than the full transform)
+  int R = 0, Cc = 0;
+  for (int i = 0; i < K; ++i) {
+    int z = kTab.zigzag[i];
+    if (z / 8 + 1 > R) R = z / 8 + 1;
+    if (z % 8 + 1 > Cc) Cc = z % 8 + 1;
+  }
+
   for (int by = 0; by < Hp / 8; ++by) {
     for (int bx = 0; bx < bw; ++bx) {
       const unsigned char *src = img + (by * 8) * Wp + bx * 8;
-      float b[8][8], t[8][8], c[8][8];
+      float t[8][8], c[8][8];
+#if defined(__AVX2__) && defined(__FMA__)
+      // one block row = one 8-lane ymm: u8 load -> f32 convert -> the
+      // R output rows are straight-line FMA chains over 8 registers
+      // (the portable loop below measured ~8x slower: gcc keeps the
+      // accumulator array in memory instead of a register)
+      __m256 brow[8];
+      const __m256 off = _mm256_set1_ps(128.0f);
+      for (int k = 0; k < 8; ++k)
+        brow[k] = _mm256_sub_ps(
+            _mm256_cvtepi32_ps(_mm256_cvtepu8_epi32(
+                _mm_loadl_epi64((const __m128i *)(src + k * Wp)))),
+            off);
+      for (int i = 0; i < R; ++i) {
+        __m256 acc = _mm256_mul_ps(_mm256_set1_ps(kTab.D[i][0]), brow[0]);
+        for (int k = 1; k < 8; ++k)
+          acc = _mm256_fmadd_ps(_mm256_set1_ps(kTab.D[i][k]), brow[k],
+                                acc);
+        _mm256_storeu_ps(t[i], acc);
+      }
+#else
+      float b[8][8];
       for (int i = 0; i < 8; ++i)
         for (int j = 0; j < 8; ++j)
           b[i][j] = (float)src[i * Wp + j] - 128.0f;
-      for (int i = 0; i < 8; ++i)
-        for (int j = 0; j < 8; ++j) {
-          float s = 0.0f;
-          for (int k = 0; k < 8; ++k) s += kTab.D[i][k] * b[k][j];
-          t[i][j] = s;
+      for (int i = 0; i < R; ++i) {
+        float s[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        for (int k = 0; k < 8; ++k) {
+          const float d = kTab.D[i][k];
+          for (int j = 0; j < 8; ++j) s[j] += d * b[k][j];
         }
-      for (int i = 0; i < 8; ++i)
-        for (int j = 0; j < 8; ++j) {
+        for (int j = 0; j < 8; ++j) t[i][j] = s[j];
+      }
+#endif
+      for (int i = 0; i < R; ++i)
+        for (int j = 0; j < Cc; ++j) {
           float s = 0.0f;
           for (int k = 0; k < 8; ++k) s += t[i][k] * kTab.D[j][k];
           c[i][j] = s;
