@@ -23,7 +23,10 @@ def main():
     H, W = int(os.environ.get("BENCH_H", 376)), int(os.environ.get("BENCH_W", 1241))
     batch = int(os.environ.get("BENCH_BATCH", 12))  # r5 on-chip sweep:
     # pipelined b10 -> 49.3, b12 -> 55.0/66.4, b14 -> 57.3 fps
-    n_frames = int(os.environ.get("BENCH_FRAMES", 64))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 124))  # 28 warmup +
+    # 96 timed = 8 pipelined flushes: the tunnel RTT swings ~2x between
+    # moments, so short runs (64 -> 3 timed flushes) were too noisy to
+    # compare configs (r5: 62/72/80/90/105 fps across identical runs)
     # dense blob field: KITTI-like feature richness (several hundred
     # trackable points per frame) so keyframe cadence is representative
     seq = make_sequence(num_frames=n_frames, H=H, W=W, num_points=3000,

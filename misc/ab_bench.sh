@@ -13,10 +13,14 @@
 set -u
 cd "$(dirname "$0")/.."
 FRAMES=${1:-160}
+# the bare `python` on this image has no packages; the real interpreter
+# lives in /opt/venv (override with PYTHON=...)
+PY=${PYTHON:-$(command -v python)}
+"$PY" -c 'import jax' 2>/dev/null || PY=/opt/venv/bin/python
 run() {
   local tag=$1; shift
   local out
-  out=$(env "$@" BENCH_FRAMES=$FRAMES timeout 1800 python bench.py 2>/dev/null | tail -1)
+  out=$(env "$@" BENCH_FRAMES=$FRAMES timeout 1800 "$PY" bench.py 2>/dev/null | tail -1)
   echo "$tag $out"
 }
 

