@@ -214,7 +214,7 @@ class Estimator:
         self._pipe_last_time = None
         self._pipe_imu_anchor = None
         self._ext_zero = None  # cached constant device args (non-IMU batch)
-        self._fbuf: list = []  # pending (time, left_u8, right_u8) frames
+        self._fbuf: list = []  # pending (time, left_u8/payload, right_raw)
         self.backend = Backend(
             cam_left, cam_right,
             caps=WindowCaps(K=c.window_kfs, L=c.landmark_slots,
@@ -664,24 +664,27 @@ class Estimator:
         return np.clip(img * 255.0, 0, 255).astype(np.uint8)
 
     def _stage_payload(self, img):
-        """Worker-thread encode + async device_put of one image payload
-        (the put enqueues the wire transfer immediately; the returned
-        device array is passed straight into the flush program)."""
-        return jax.device_put(self._dct(img))
+        """Worker-thread u8-coerce + encode + async device_put of one
+        image payload (the put enqueues the wire transfer immediately;
+        the returned device array is passed straight into the flush
+        program). Coercing here keeps float-input conversions off the
+        per-frame main-thread path — buffered frames hand the raw array
+        to the pool and pay nothing until the worker picks it up."""
+        return jax.device_put(self._dct(self._to_u8(img)))
 
     def _img_dev(self, img):
         """Device payload for one image: the raw u8 array, or the
         (nb, K+2) int8 DCT payload when cfg.dct_k is enabled
         (ops/dct.py). Accepts an already-encoded payload or an in-flight
         encode future unchanged — buffered frames drained through the
-        per-frame path arrive that way."""
-        if self._dct is None:
-            return jnp.asarray(img)
+        per-frame path arrive that way; float inputs are u8-coerced."""
         if hasattr(img, "result"):
             img = img.result()
+        if self._dct is None:
+            return jnp.asarray(self._to_u8(img))
         if getattr(img, "dtype", None) == np.int8:
             return jnp.asarray(img)  # already encoded
-        return jnp.asarray(self._dct(img))
+        return jnp.asarray(self._dct(self._to_u8(img)))
 
     def input_image(self, time: float, img_left, img_right,
                     init_pose=None) -> np.ndarray:
@@ -858,12 +861,15 @@ class Estimator:
                                             img_left_u8)
                       if self._dct is not None
                       else jax.device_put(img_left_u8))
-            right = self._to_u8(img_right)
+            # the right image stays RAW in the buffer: only the flush
+            # frame's right ever enters the keyframe stage, so per-frame
+            # u8 conversion of float inputs (~1.5 ms of clip+cast on a
+            # 376x1241 frame) would be pure waste for B-1 of B frames
+            right = img_right
             flushing = len(self._fbuf) + 1 >= self.cfg.frame_batch
             if flushing and self._dct is not None:
-                # only the flush frame's right image enters the keyframe
-                # stage — stage its encode+put so it overlaps the
-                # dispatch-side arg packing
+                # stage the flush frame's encode+put so it overlaps the
+                # dispatch-side arg packing (u8 coercion rides the worker)
                 right = self._enc_pool.submit(self._stage_payload, right)
             self._fbuf.append((float(time), staged, right))
             if flushing:
@@ -873,8 +879,7 @@ class Estimator:
             # encodes instead of serializing them into the flush)
             left = (self._enc_pool.submit(self._dct, img_left_u8)
                     if self._dct is not None else img_left_u8)
-            self._fbuf.append((float(time), left,
-                               self._to_u8(img_right)))
+            self._fbuf.append((float(time), left, img_right))
             if len(self._fbuf) >= self.cfg.frame_batch:
                 return self._flush_batch()
         p = self.last_pose
@@ -904,10 +909,11 @@ class Estimator:
                 # relay charges ~ms per put)
                 imgs = jax.device_put(
                     np.stack([l.result() for _, l, _ in buf]))
-                right_dev = jax.device_put(self._dct(buf[-1][2]))
+                right_dev = jax.device_put(
+                    self._dct(self._to_u8(buf[-1][2])))
             else:
                 imgs = jax.device_put(np.stack([l for _, l, _ in buf]))
-                right_dev = jax.device_put(buf[-1][2])
+                right_dev = jax.device_put(self._to_u8(buf[-1][2]))
 
         C = self._batch_imu_cap
         if C:
