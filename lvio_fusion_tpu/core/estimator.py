@@ -215,6 +215,11 @@ class Estimator:
         self._pipe_imu_anchor = None
         self._ext_zero = None  # cached constant device args (non-IMU batch)
         self._fbuf: list = []  # pending (time, left_u8/payload, right_raw)
+        # constant-velocity extrapolation cache for buffered frames:
+        # (pose, n_buffered, base last_pose object) — stepping the cached
+        # pose once per frame replaces the O(B) re-multiply per frame
+        # (O(B^2) np_se3 calls per batch on the 1-core host)
+        self._extrap = None
         self.backend = Backend(
             cam_left, cam_right,
             caps=WindowCaps(K=c.window_kfs, L=c.landmark_slots,
@@ -882,9 +887,18 @@ class Estimator:
             self._fbuf.append((float(time), left, img_right))
             if len(self._fbuf) >= self.cfg.frame_batch:
                 return self._flush_batch()
-        p = self.last_pose
-        for _ in range(len(self._fbuf)):
-            p = np_se3.se3_mul(p, self.relative)
+        n = len(self._fbuf)
+        ex = self._extrap
+        if ex is not None and ex[1] == n - 1 and ex[2] is self.last_pose:
+            # self.relative only changes at flush/correction time, where
+            # last_pose is reassigned too — the base identity check makes
+            # the incremental step exact
+            p = np_se3.se3_mul(ex[0], self.relative)
+        else:
+            p = self.last_pose
+            for _ in range(n):
+                p = np_se3.se3_mul(p, self.relative)
+        self._extrap = (p, n, self.last_pose)
         return p
 
     def _flush_batch(self):

@@ -8,12 +8,23 @@ geometry/so3.py / se3.py exactly, for scalars only.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+
+# The hot helpers below are written in scalar Python-float arithmetic on
+# purpose: these run hundreds of times per batch flush on the 1-core
+# host, and numpy's tiny-array machinery (np.cross builds moveaxis
+# views, np.linalg.norm dispatches through ufunc reduction) costs tens
+# of microseconds per call where the plain f64 formula costs well under
+# one.
 
 
 def quat_mul(q1, q2):
-    w1, x1, y1, z1 = q1
-    w2, x2, y2, z2 = q2
+    w1, x1, y1, z1 = (float(q1[0]), float(q1[1]), float(q1[2]),
+                      float(q1[3]))
+    w2, x2, y2, z2 = (float(q2[0]), float(q2[1]), float(q2[2]),
+                      float(q2[3]))
     return np.array([
         w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
         w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
@@ -27,14 +38,21 @@ def quat_conj(q):
 
 
 def quat_rotate(q, v):
-    qv = np.asarray(q[1:], np.float64)
-    w = q[0]
-    uv = np.cross(qv, v)
-    return np.asarray(v, np.float64) + 2.0 * (w * uv + np.cross(qv, uv))
+    w, x, y, z = (float(q[0]), float(q[1]), float(q[2]), float(q[3]))
+    vx, vy, vz = float(v[0]), float(v[1]), float(v[2])
+    # v' = v + w*u + qv x u with u = 2 (qv x v)
+    ux = 2.0 * (y * vz - z * vy)
+    uy = 2.0 * (z * vx - x * vz)
+    uz = 2.0 * (x * vy - y * vx)
+    return np.array([vx + w * ux + (y * uz - z * uy),
+                     vy + w * uy + (z * ux - x * uz),
+                     vz + w * uz + (x * uy - y * ux)], np.float64)
 
 
 def _norm(q):
-    q = q / max(np.linalg.norm(q), 1e-12)
+    n = math.sqrt(float(q[0]) ** 2 + float(q[1]) ** 2
+                  + float(q[2]) ** 2 + float(q[3]) ** 2)
+    q = q / max(n, 1e-12)
     return q if q[0] >= 0 else -q
 
 
@@ -75,16 +93,40 @@ def quat_from_mat(R):
 
 
 def se3_mul(T1, T2):
-    q1, t1 = np.asarray(T1[:4], np.float64), np.asarray(T1[4:], np.float64)
-    q2, t2 = np.asarray(T2[:4], np.float64), np.asarray(T2[4:], np.float64)
-    q = _norm(quat_mul(q1, q2))
-    return np.concatenate([q, quat_rotate(q1, t2) + t1]).astype(np.float32)
+    w1 = float(T1[0]); x1 = float(T1[1]); y1 = float(T1[2])
+    z1 = float(T1[3])
+    tx1 = float(T1[4]); ty1 = float(T1[5]); tz1 = float(T1[6])
+    w2 = float(T2[0]); x2 = float(T2[1]); y2 = float(T2[2])
+    z2 = float(T2[3])
+    tx2 = float(T2[4]); ty2 = float(T2[5]); tz2 = float(T2[6])
+    qw = w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2
+    qx = w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2
+    qy = w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2
+    qz = w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2
+    n = max(math.sqrt(qw * qw + qx * qx + qy * qy + qz * qz), 1e-12)
+    s = (1.0 / n) if qw >= 0 else (-1.0 / n)
+    # rotate t2 by q1 (same identity as quat_rotate)
+    ux = 2.0 * (y1 * tz2 - z1 * ty2)
+    uy = 2.0 * (z1 * tx2 - x1 * tz2)
+    uz = 2.0 * (x1 * ty2 - y1 * tx2)
+    return np.array(
+        [qw * s, qx * s, qy * s, qz * s,
+         tx2 + w1 * ux + (y1 * uz - z1 * uy) + tx1,
+         ty2 + w1 * uy + (z1 * ux - x1 * uz) + ty1,
+         tz2 + w1 * uz + (x1 * uy - y1 * ux) + tz1], np.float32)
 
 
 def se3_inv(T):
-    q, t = np.asarray(T[:4], np.float64), np.asarray(T[4:], np.float64)
-    qi = quat_conj(q)
-    return np.concatenate([qi, -quat_rotate(qi, t)]).astype(np.float32)
+    w = float(T[0]); x = -float(T[1]); y = -float(T[2]); z = -float(T[3])
+    tx = float(T[4]); ty = float(T[5]); tz = float(T[6])
+    ux = 2.0 * (y * tz - z * ty)
+    uy = 2.0 * (z * tx - x * tz)
+    uz = 2.0 * (x * ty - y * tx)
+    return np.array(
+        [w, x, y, z,
+         -(tx + w * ux + (y * uz - z * uy)),
+         -(ty + w * uy + (z * ux - x * uz)),
+         -(tz + w * uz + (x * uy - y * ux))], np.float32)
 
 
 def se3_apply(T, p):
