@@ -57,6 +57,14 @@ def main():
     pallas_lk = os.environ.get("BENCH_PALLAS_LK", "0") == "1"  # route LK
     # through the Pallas kernel (ops/pallas/lk.py); A/B knob for on-chip
     # sessions, default stays the r3-proven XLA block-fetch path
+    levels = int(os.environ.get("BENCH_LEVELS", 4))  # LK pyramid levels:
+    # each level costs ~0.85 ms/frame of device time (block-fetch gathers
+    # dominate, iterations are ~free — misc/prof_stages.py r6); fewer
+    # levels shrink the capture range of the track, so accuracy-gate any
+    # change on the e2e ATE before pinning
+    unroll = int(os.environ.get("BENCH_UNROLL", 1))  # lax.scan unroll of
+    # the B-frame loop: a fusion knob (execution is sequential either
+    # way); >1 grows the program ~linearly — first remote compile is slow
     cond_kf = os.environ.get("BENCH_COND_KF", "1") == "1"  # lax.cond-skip
     # of detection FLOPs on no-keyframe batches; A/B knob (at batch 12 @
     # 10 Hz the 1.0 s time trigger fires every batch, so this is expected
@@ -68,7 +76,7 @@ def main():
         ba_iters=5, frame_batch=batch,
         pipelined_flush=pipelined and batch > 1, dct_k=dct_k,
         dct_quality=dct_q, dct_bits=dct_bits, pallas_lk=pallas_lk,
-        cond_kf_stage=cond_kf)
+        cond_kf_stage=cond_kf, scan_unroll=unroll, levels=levels)
 
     # dataset readers deliver decoded uint8 images (KITTI PNGs, EuRoC
     # PGMs); convert the synthetic float renders once up front so the

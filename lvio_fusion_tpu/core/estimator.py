@@ -40,6 +40,13 @@ class EstimatorConfig:
     # the tunnel round-trip over several frames; keyframe decisions then lag
     # by up to frame_batch-1 frames — the same tolerance the reference's
     # async backend has, backend.cpp:28-40)
+    scan_unroll: int = 1  # lax.scan unroll factor for the batched/pipelined
+    # B-frame loop: >1 lets XLA fuse across consecutive frames at the cost
+    # of a proportionally larger program (compile time and code size);
+    # execution is sequential either way, so this is a fusion knob only.
+    # r6 on-chip A/B (10 interleaved runs): unroll=4 is NEUTRAL within the
+    # tunnel's 80-116 fps epoch swing and unroll=12 loses outright —
+    # default stays 1 (fastest compile); exactness-tested vs unroll=1
     async_ba: bool = True  # never block tracking on the window solve: the
     # BA launched at keyframe N is fetched/written back at keyframe N+1 and
     # its rigid correction forward-propagated (the reference backend
@@ -193,13 +200,14 @@ class Estimator:
         self._batch_step = (fns.make_batch_kf_step(
             c.frame_batch, imu_cap=self._batch_imu_cap, g_norm=c.g_norm,
             kf_thresh=(c.num_features_needed_for_keyframe
-                       if c.cond_kf_stage else None))
+                       if c.cond_kf_stage else None),
+            unroll=c.scan_unroll)
             if c.frame_batch > 1 and not c.pipelined_flush else None)
         # lag-1 pipelined frontend (device-autonomous keyframe merge)
         self._pipe_step = (fns.make_pipe_step(
             c.frame_batch, c.num_features_needed_for_keyframe,
             c.max_keyframe_interval, imu_cap=self._batch_imu_cap,
-            g_norm=c.g_norm)
+            g_norm=c.g_norm, unroll=c.scan_unroll)
             if c.frame_batch > 1 and c.pipelined_flush else None)
         self._pipe = None           # device chain state (dict) or None
         self._pending_flush = None  # in-flight batch handles

@@ -366,7 +366,8 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     _batch_steps = {}
 
     def make_batch_kf_step(B: int, imu_cap: int = 0,
-                           g_norm: float = 9.81007, kf_thresh=None):
+                           g_norm: float = 9.81007, kf_thresh=None,
+                           unroll: int = 1):
         """Jitted B-frame tracking step with a SPECULATIVE keyframe stage:
         ONE stacked image upload, ONE dispatch, ONE packed fetch for B
         consecutive frames. Host-side transfers through the TPU tunnel
@@ -394,7 +395,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         Returns (pyr_last, feat_px', feat_valid', pose', relative',
         packed (B, N*3+8), kf_packed (M, 29)).
         """
-        key = (B, imu_cap, kf_thresh)
+        key = (B, imu_cap, kf_thresh, unroll)
         if key in _batch_steps:
             return _batch_steps[key]
 
@@ -404,7 +405,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
 
         def _body(imgs_u8, xs_extra, img_right_u8, pyr_last, feat_px,
                   feat_valid, lm_world, pose, relative, vel0, pred_fn,
-                  force_kf):
+                  force_kf, unroll=1):
             """Shared B-frame loop as ONE ``lax.scan``: the per-frame body
             (pyramid + LK + pose refine) is traced and compiled once
             instead of B times — the unrolled form cost minutes of remote
@@ -430,7 +431,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
 
             carry, (packed_rows, inls) = jax.lax.scan(
                 body, (pyr_last, feat_px, feat_valid, pose, relative, vel0),
-                (imgs_u8, xs_extra))
+                (imgs_u8, xs_extra), unroll=unroll)
             pyr_last, feat_px, feat_valid, pose, relative, vel = carry
 
             def _kf_stage(_):
@@ -461,7 +462,8 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                 z3 = jnp.zeros(3, jnp.float32)
                 return _body(imgs_u8, (ext_preds, use_ext), img_right_u8,
                              pyr_last, feat_px, feat_valid, lm_world, pose,
-                             relative, z3, pred, force_kf)[:-1]
+                             relative, z3, pred, force_kf,
+                             unroll=unroll)[:-1]
         else:
             # IMU-seeded variant: per-frame raw sample windows ride along
             # in the SAME dispatch; a light (no-covariance) preintegration
@@ -484,7 +486,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
                 return _body(imgs_u8, (imu_acc, imu_gyr, imu_dt, imu_on),
                              img_right_u8, pyr_last, feat_px, feat_valid,
                              lm_world, pose, relative, vel0, pred,
-                             force_kf)
+                             force_kf, unroll=unroll)
 
         _batch_steps[key] = batch_kf_step
         return batch_kf_step
@@ -492,7 +494,8 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
     _pipe_steps = {}
 
     def make_pipe_step(B: int, kf_thresh: int, max_kf_interval: float,
-                       imu_cap: int = 0, g_norm: float = 9.81007):
+                       imu_cap: int = 0, g_norm: float = 9.81007,
+                       unroll: int = 1):
         """Device-AUTONOMOUS B-frame step for the lag-1 pipelined
         frontend: the keyframe decision AND the feature merge happen
         on-device, so the tracking chain never blocks on host processing
@@ -517,7 +520,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
         extras (N+4,): [assigned_det (N) | need_kf | min_inl |
         final_inl | t_since_kf']).
         """
-        key = (B, kf_thresh, round(max_kf_interval, 6), imu_cap)
+        key = (B, kf_thresh, round(max_kf_interval, 6), imu_cap, unroll)
         if key in _pipe_steps:
             return _pipe_steps[key]
 
@@ -604,7 +607,7 @@ def make_frontend(cam_left, cam_right, H: int, W: int, num_features: int,
 
             carry, (packed_rows, inls) = jax.lax.scan(
                 body, (pyr_last, feat_px, feat_valid, pose, relative, vel),
-                xs)
+                xs, unroll=unroll)
             pyr_last, feat_px, feat_valid, pose, relative, vel = carry
 
             # ---- device-side keyframe decision (before the stage so a
