@@ -47,3 +47,9 @@ run pipe-b8       BENCH_DCT_BITS=4 BENCH_BATCH=8
 run pipe-b12      BENCH_DCT_BITS=4 BENCH_BATCH=12
 run pipe-b16      BENCH_DCT_BITS=4 BENCH_BATCH=16
 run pipe-int8     BENCH_DCT_BITS=8 BENCH_BATCH=12
+# r6 knobs: scan unroll (fusion across frames; r6 interleaved A/B said
+# u4 neutral / u12 loses — re-check if XLA version moves) and pyramid
+# levels (each level ~0.85 ms/frame of gather overhead; ACCURACY-GATE
+# any levels change on the e2e ATE before pinning)
+run pipe-unroll4  BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_UNROLL=4
+run pipe-lvl3     BENCH_DCT_BITS=4 BENCH_BATCH=12 BENCH_LEVELS=3
