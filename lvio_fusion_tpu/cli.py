@@ -21,6 +21,54 @@ import time as _time
 import numpy as np
 
 
+PERF_KEYS = ("frame_batch", "pipelined_flush", "dct_k", "dct_quality",
+             "dct_bits")
+
+
+def _perf_overrides(args, yaml_path: str = ""):
+    """Resolve the run's perf configuration (batch / pipelined / DCT
+    upload) to EstimatorConfig overrides.
+
+    Precedence: explicit CLI flag > preset-YAML perf key > backend auto.
+    Auto picks the measured-best configuration for the active backend
+    (r5/r6 on-chip A/B, misc/ab_r05*.log + BENCH_r04: pipelined batch-12
+    with int4 DCT-16 payloads, 113-116 fps vs ~35 for the single-frame
+    sync path through the axon tunnel); CPU runs keep the conservative
+    single-frame sync path the test suite compiles. The reference ships
+    its tuned settings per dataset YAML (config/kitti.yaml) — perf keys
+    in OUR preset YAMLs are honored the same way.
+    """
+    import jax
+    fast = dict(frame_batch=12, pipelined_flush=True, dct_k=16,
+                dct_quality=100, dct_bits=4)
+    safe = dict(frame_batch=1, pipelined_flush=False, dct_k=0,
+                dct_quality=100, dct_bits=4)
+    if not hasattr(args, "batch"):
+        # non-run commands (train-rl scene builds): latency-irrelevant,
+        # keep the conservative per-frame path
+        return dict(safe)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    auto = fast if on_tpu else safe
+    yaml_keys = set()
+    if yaml_path:
+        from lvio_fusion_tpu.utils import config as cfgmod
+        yaml_keys = {k for k in PERF_KEYS if k in cfgmod.load(yaml_path)}
+    explicit = dict(frame_batch=getattr(args, "batch", None),
+                    pipelined_flush=getattr(args, "pipelined", None),
+                    dct_k=getattr(args, "dct", None),
+                    dct_quality=getattr(args, "dct_quality", None),
+                    dct_bits=getattr(args, "dct_bits", None))
+    out = {}
+    for k in PERF_KEYS:
+        if explicit[k] is not None:
+            out[k] = explicit[k]
+        elif k not in yaml_keys:     # leave YAML-tuned values standing
+            out[k] = auto[k]
+    if out.get("frame_batch") == 1:
+        out["pipelined_flush"] = False
+    return out
+
+
 def _build_synthetic(args, scene=None):
     """``scene``: optional make_sequence overrides — the RL trainer uses
     distinct scene FAMILIES (texture density, occluders, turn geometry)
@@ -37,9 +85,8 @@ def _build_synthetic(args, scene=None):
         num_features_tracking_bad=10, num_features_needed_for_keyframe=80,
         window_kfs=6, landmark_slots=256, obs_slots=1024, po_slots=512,
         ba_iters=5, cell=24, occupy_radius=10,
-        frame_batch=getattr(args, "batch", 1),
-        pipelined_flush=getattr(args, "pipelined", False),
         use_imu=args.imu, use_lidar=args.lidar,
+        **_perf_overrides(args),
         num_scans=16, horizon_scan=360, ang_res_y=2.0, ang_bottom=15.0,
         ground_rows=8, min_range=1.0, max_range=50.0,
         max_scan_points=8192, max_ground=512, max_surf=512,
@@ -84,9 +131,7 @@ def _build_kitti(args):
     cfg = EstimatorConfig(
         height=H, width=W,
         use_lidar=args.lidar and ds.lidar_extrinsic is not None,
-        frame_batch=getattr(args, "batch", 1),
-        pipelined_flush=getattr(args, "pipelined", False),
-        **shape_kw)
+        **_perf_overrides(args), **shape_kw)
     est = Estimator(ds.cam_left, ds.cam_right, cfg,
                     lidar_extrinsic=ds.lidar_extrinsic)
 
@@ -111,8 +156,7 @@ def _build_kaist(args):
     probe = next(ds.frames(0, 1))
     H, W = probe.left.shape
     est = Estimator.from_config(args.config, H, W,
-                                frame_batch=getattr(args, "batch", 1),
-                                pipelined_flush=getattr(args, "pipelined", False))
+                                **_perf_overrides(args, args.config))
 
     def stream():
         imu = ds.imu() if est.cfg.use_imu else None
@@ -153,8 +197,7 @@ def _build_euroc(args):
     probe = next(ds.frames(0, 1))
     H, W = probe.left.shape
     est = Estimator.from_config(
-        args.config, H, W, frame_batch=getattr(args, "batch", 1),
-        pipelined_flush=getattr(args, "pipelined", False))
+        args.config, H, W, **_perf_overrides(args, args.config))
 
     def stream():
         imu = ds.imu() if est.cfg.use_imu else None
@@ -195,7 +238,8 @@ def cmd_run(args):
             num_features_init=30, num_features_tracking_bad=10,
             num_features_needed_for_keyframe=80, window_kfs=6,
             landmark_slots=256, obs_slots=1024, po_slots=512, ba_iters=5,
-            cell=24, occupy_radius=10, frame_batch=args.batch)
+            cell=24, occupy_radius=10,
+            frame_batch=args.batch or 1, pipelined_flush=False)
         runner = ReplicaRunner(
             lambda: Estimator(seqs[0].cam_left, seqs[0].cam_right, cfg),
             n_replicas=R)
@@ -432,7 +476,15 @@ def main(argv=None):
     import jax
     want = os.environ.get("JAX_PLATFORMS", "")
     if want:
-        jax.config.update("jax_platforms", want)
+        # keep cpu registered as the LAST platform: synthetic rendering
+        # and other host-pinned stages run under
+        # jax.default_device(cpu); honoring a bare "axon"/"tpu" verbatim
+        # would make jax.devices("cpu") raise mid-run. The first entry
+        # still decides the default backend, so "cpu" alone forces CPU.
+        plats = [p for p in want.split(",") if p]
+        if "cpu" not in plats:
+            plats.append("cpu")
+        jax.config.update("jax_platforms", ",".join(plats))
 
     p = argparse.ArgumentParser(prog="lvio_fusion_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -449,13 +501,29 @@ def main(argv=None):
     r.add_argument("--imu", action="store_true")
     r.add_argument("--lidar", action="store_true")
     r.add_argument("--out", default="trajectory.csv")
-    r.add_argument("--batch", type=int, default=1,
+    r.add_argument("--batch", type=int, default=None,
                    help="frames per device dispatch (throughput mode; "
-                        "keyframe decisions lag by batch-1 frames)")
-    r.add_argument("--pipelined", action="store_true",
+                        "keyframe decisions lag by batch-1 frames). "
+                        "Default: auto — 12 on TPU (the on-chip "
+                        "A/B-proven setting), 1 on CPU")
+    r.add_argument("--pipelined", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="lag-1 pipelined frontend: host processing "
                         "overlaps device tracking (throughput mode; "
-                        "map updates lag one extra batch)")
+                        "map updates lag one extra batch). Default: "
+                        "auto — on when batch > 1 on TPU")
+    r.add_argument("--dct", type=int, default=None, metavar="K",
+                   help="upload images as K-coefficient 8x8-DCT "
+                        "payloads decoded on-device (~4-6x fewer wire "
+                        "bytes; 0 = raw uint8). Default: auto — 16 on "
+                        "TPU, 0 on CPU")
+    r.add_argument("--dct-quality", type=int, default=None,
+                   help="DCT quantizer quality (100 = adaptive uniform "
+                        "per-block scale, the measured-best setting)")
+    r.add_argument("--dct-bits", type=int, default=None,
+                   choices=[4, 8],
+                   help="AC coefficient width; 4 nibble-packs two per "
+                        "byte (default, accuracy-neutral end to end)")
     r.add_argument("--stats", action="store_true",
                    help="print per-stage timing (glog-style observability)")
     r.add_argument("--policy", default="",

@@ -53,15 +53,17 @@ class EstimatorConfig:
     # thread's exact semantics, backend.cpp:28-40 + Frontend::UpdateCache).
     # Keyframes that run the global stage (navsat/loop mutate poses) stay
     # synchronous.
-    pipelined_flush: bool = False  # lag-1 frontend pipeline (frame_batch
-    # > 1 only): the host processes each batch's results while the device
-    # tracks the NEXT batch — the keyframe decision and feature merge run
-    # on-device, and map-side corrections are injected into the chain one
-    # batch late. Wins on locally-attached TPUs where fetches overlap
-    # execution; the tunneled axon relay serializes fetches behind
-    # in-flight programs, so there it is no faster than the synchronous
-    # batched flush. Keyframe bookkeeping (map insertion, BA, global
-    # stages) lags one batch.
+    pipelined_flush: Optional[bool] = None  # lag-1 frontend pipeline
+    # (frame_batch > 1 only): the host processes each batch's results
+    # while the device tracks the NEXT batch — the keyframe decision and
+    # feature merge run on-device, and map-side corrections are injected
+    # into the chain one batch late. Keyframe bookkeeping (map insertion,
+    # BA, global stages) lags one batch. Default None = auto: ON when
+    # frame_batch > 1 and the backend is a TPU (r5/r6 on-chip A/B:
+    # pipelined 55-66 fps vs 46-48 sync at batch 12 through the axon
+    # tunnel — the relay overlaps fetches with in-flight programs, so the
+    # pipeline wins even remotely); OFF on CPU (test mesh) where the
+    # sync batched flush is simpler and equally fast.
     levels: int = 4
     lk_window: int = 21
     cell: int = 30
@@ -156,6 +158,15 @@ class EstimatorConfig:
     # decision — exactly the host's formula — says no keyframe is due;
     # XLA executes only the taken branch, so no-kf batches skip the
     # detection FLOPs entirely (equivalence: tests pass either way)
+
+    def __post_init__(self):
+        if self.pipelined_flush is None:
+            # measured-best default per backend (see the field comment);
+            # jax is already imported by this module, so the backend
+            # query costs nothing new
+            self.pipelined_flush = bool(
+                self.frame_batch > 1
+                and jax.default_backend() in ("tpu", "axon"))
 
 
 class Estimator:
@@ -393,6 +404,15 @@ class Estimator:
             remove_moving_points=bool(c.get("remove_moving_points", 1)),
             relocator_mode=int(c.get("relocator_mode", 2)),
         )
+        # perf keys are OUR preset extension (the reference ships tuned
+        # settings per dataset YAML the same way, config/kitti.yaml):
+        # honored when present, absent keys fall to dataclass defaults
+        # or caller overrides (cli._perf_overrides backend auto)
+        for k, cast in (("frame_batch", int), ("pipelined_flush", bool),
+                        ("dct_k", int), ("dct_quality", int),
+                        ("dct_bits", int)):
+            if k in c:
+                parsed[k] = cast(c.get(k))
         parsed.update(overrides)  # caller overrides beat YAML values
         ecfg = EstimatorConfig(**parsed)
         return cls(cam0, cam1, ecfg, lidar_extrinsic=lidar_ext)

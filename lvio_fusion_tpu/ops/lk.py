@@ -101,16 +101,68 @@ def _fetch_block(img, corner_xy, S: int):
     return blk, jnp.stack([cx, cy])
 
 
+def _fetch_blocks(img, corners_xy, S: int, mode=None):
+    """Batched clamped (S, S) block fetch for N points: blocks (N, S, S)
+    + clamped corners (N, 2), equal to vmapping ``_fetch_block``.
+    ``mode``: None = dispatch by backend; "mm"/"slice" force a path
+    (tests assert both produce identical blocks).
+
+    Backend-dispatched at trace time like ``_resample``:
+    - TPU: TWO one-hot selection MATMULS (rows then columns). The
+      vmapped 2-D ``dynamic_slice`` lowers to per-point HBM gathers
+      costing ~0.75 ms per pyramid level for 400 points REGARDLESS of
+      level size — the r6-profiled "per-level fixed overhead" that made
+      LK the biggest on-chip stage. Expressing the same selection as
+      one-hot matmuls puts it on the MXU: 3.08 -> 0.71 ms over 4 levels
+      (misc/prof_lk.py, on-chip). Exact — each output element is one
+      1.0*x plus zeros, no arithmetic on values.
+    - CPU (the test mesh): the original vmapped dynamic_slice; gathers
+      are cheap there and the one-hot construction is not. Both paths
+      select identical elements, so results are bit-identical.
+    """
+    H, W = img.shape
+    cx = jnp.clip(corners_xy[:, 0], 0.0, W - S)
+    cy = jnp.clip(corners_xy[:, 1], 0.0, H - S)
+    if mode is None:
+        mode = ("mm" if jax.default_backend() in ("tpu", "axon")
+                else "slice")
+    if mode == "mm":
+        iy = cy.astype(jnp.int32)
+        ix = cx.astype(jnp.int32)
+        rsel = (iy[:, None, None] + jnp.arange(S)[None, :, None]
+                == jnp.arange(H)[None, None, :]).astype(img.dtype)
+        strips = jnp.einsum("nsh,hw->nsw", rsel, img)
+        csel = (ix[:, None, None] + jnp.arange(S)[None, :, None]
+                == jnp.arange(W)[None, None, :]).astype(img.dtype)
+        blocks = jnp.einsum("nsw,ntw->nst", strips, csel)
+    else:
+        blocks = jax.vmap(lambda x, y: jax.lax.dynamic_slice(
+            img, (y.astype(jnp.int32), x.astype(jnp.int32)),
+            (S, S)))(cx, cy)
+    return blocks, jnp.stack([cx, cy], axis=-1)
+
+
 def _lk_level_pt(img0, img1, p0, p1_init, win: int, iters: int):
     """Single-level IC-LK for one point. p0: template center in img0;
     p1_init: initial estimate in img1. Returns (p1, ok)."""
     h = (win - 1) / 2.0
     S = win + _MARGIN
-
-    # --- template: one (win+4) block fetch, subpixel shift, in-block
-    # Scharr (local_map/frontend tracking both go through here) ---
     TB = win + 4
     blk0, c0 = _fetch_block(img0, jnp.floor(p0 - (h + 1.0)), TB)
+    blk1, c1 = _fetch_block(img1, jnp.floor(p1_init) - (S // 2), S)
+    return _lk_level_blocks(blk0, c0, blk1, c1, p0, p1_init, win, iters)
+
+
+def _lk_level_blocks(blk0, c0, blk1, c1, p0, p1_init, win: int,
+                     iters: int):
+    """IC-LK on pre-fetched blocks (the post-fetch math of the level,
+    shared by the per-point and batched-fetch formulations)."""
+    h = (win - 1) / 2.0
+    S = blk1.shape[0]
+    TB = blk0.shape[0]
+
+    # --- template: subpixel shift + in-block Scharr (local_map/frontend
+    # tracking both go through here) ---
     o0 = jnp.clip(p0 - (h + 1.0) - c0, 0.0, float(TB - win - 2))
     tc = _resample(blk0, o0[1], o0[0], win + 2)
     t = tc[1:-1, 1:-1]
@@ -124,10 +176,7 @@ def _lk_level_pt(img0, img1, p0, p1_init, win: int, iters: int):
     det_safe = jnp.where(ok, det, 1.0)
     inv = jnp.array([[gyy, -gxy], [-gxy, gxx]]) / det_safe
 
-    # --- search block: one (S, S) fetch around the seed ---
-    blk1, c1 = _fetch_block(img1, jnp.floor(p1_init) - (S // 2), S)
-
-    lim = jnp.asarray(S - win - 1, img0.dtype)
+    lim = jnp.asarray(S - win - 1, blk0.dtype)
 
     def body(_, p):
         # window start within the block, clamped to stay in-block
@@ -156,8 +205,13 @@ def _track_level(i0, i1, pts, seeds, win: int, iters: int,
         interp = jax.default_backend() not in ("tpu", "axon")
         return lk_level_pallas(i0, i1, pts, seeds, win, iters,
                                interpret=interp)
-    return jax.vmap(partial(_lk_level_pt, i0, i1,
-                            win=win, iters=iters))(pts, seeds)
+    h = (win - 1) / 2.0
+    S = win + _MARGIN
+    TB = win + 4
+    blk0, c0 = _fetch_blocks(i0, jnp.floor(pts - (h + 1.0)), TB)
+    blk1, c1 = _fetch_blocks(i1, jnp.floor(seeds) - (S // 2), S)
+    return jax.vmap(partial(_lk_level_blocks, win=win,
+                            iters=iters))(blk0, c0, blk1, c1, pts, seeds)
 
 
 def lk_level_shim(i0, i1, pts, seeds, win: int, iters: int,
