@@ -50,10 +50,10 @@ def main():
     dct_bits = int(os.environ.get("BENCH_DCT_BITS", 4))  # nibble-packed
     # AC coefficients: ~40% fewer upload bytes than dct_bits=8 on top of
     # dct_k (129 KB -> ~78 KB per 376x1241 frame), accuracy-neutral end
-    # to end (tests/test_dct.py + e2e ATE 0.021 vs 0.025 on the bench-
-    # scale synthetic). The wire (~11-20 MB/s measured) carries ~8.6 of
-    # the ~29 ms/frame budget at 8 bits, so the expected win is ~3 ms/
-    # frame; BENCH_DCT_BITS=8 reverts to the r3-measured configuration.
+    # to end (tests/test_dct.py; bench-scale e2e kf-RMSE ATE is 0.10 m
+    # unaligned over 124 frames/17 m for int4, int8 AND raw u8 — see
+    # the reconciled table in PARITY.md). BENCH_DCT_BITS=8 reverts to
+    # the r3-measured configuration.
     pallas_lk = os.environ.get("BENCH_PALLAS_LK", "0") == "1"  # route LK
     # through the Pallas kernel (ops/pallas/lk.py); A/B knob for on-chip
     # sessions, default stays the r3-proven XLA block-fetch path

@@ -326,6 +326,13 @@ def cmd_run(args):
         print(f"global lidar map: {n_pts} pts -> {args.map_cloud}",
               file=sys.stderr)
 
+    if getattr(args, "frusta", ""):
+        from lvio_fusion_tpu.utils.viz import save_frusta_ply
+        n_e = save_frusta_ply(args.frusta, est.map, est.cam_left,
+                              est.cfg.height, est.cfg.width)
+        print(f"camera frusta + car pose: {n_e} edges -> {args.frusta}",
+              file=sys.stderr)
+
     times, poses = est.trajectory()
     write_tum_csv(args.out, times, poses)
     if getattr(args, "overview", ""):
@@ -355,9 +362,21 @@ RL_SCENES = {
     "sparse": dict(num_points=140, pixel_noise=0.02, seed=21),
     "occluded": dict(num_occluders=5, exposure_drift=0.15, seed=22),
     "turns": dict(yaw_rate=0.12, speed=1.0, seed=23),
+    # the paper's regime A: visuals degraded enough that the default
+    # visual weight is provably suboptimal (misc/rl_degraded_probe.py),
+    # clean lidar/imu — the family where adaptive weighting must HELP,
+    # not merely do no harm (environment.cpp:117-132 reward target)
+    "degraded": dict(num_points=120, pixel_noise=0.06, num_occluders=6,
+                     exposure_drift=0.25, seed=41),
 }
 RL_HELD_OUT = dict(num_points=200, num_occluders=2, yaw_rate=0.08,
                    pixel_noise=0.01, seed=31)
+# held-out DEGRADED family instance (train seed 41, eval seed 43):
+# the positive end-to-end gate (test_policy_artifact.py) measures the
+# policy's ATE improvement over defaults on this scene
+RL_HELD_OUT_DEGRADED = dict(num_points=120, pixel_noise=0.06,
+                            num_occluders=6, exposure_drift=0.25,
+                            seed=43)
 
 
 def _scene_tables(args, scene, drift_seed):
@@ -550,6 +569,11 @@ def main(argv=None):
                         "landmark cloud + pose-graph sections + loop "
                         "edges + navsat track (the reference's RViz "
                         "views, offline; visualization.cpp:33-163)")
+    r.add_argument("--frusta", default="",
+                   help="write per-keyframe camera-frustum wireframes + "
+                        "the car-pose axis triad as a PLY line set (the "
+                        "reference's RViz camera markers, offline; "
+                        "camera_pose.cpp)")
     r.add_argument("--replicas", type=int, default=1,
                    help="N independent SLAM streams on N devices "
                         "(multi-chip serving scale-out; synthetic only)")

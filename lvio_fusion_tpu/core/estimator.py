@@ -46,7 +46,9 @@ class EstimatorConfig:
     # execution is sequential either way, so this is a fusion knob only.
     # r6 on-chip A/B (10 interleaved runs): unroll=4 is NEUTRAL within the
     # tunnel's 80-116 fps epoch swing and unroll=12 loses outright —
-    # default stays 1 (fastest compile); exactness-tested vs unroll=1
+    # default stays 1 (fastest compile). Unrolling lets XLA reassociate
+    # f32 reductions, so results drift at roundoff scale (NOT bit-exact;
+    # trajectory equivalence guarded by test_scan_unroll_parity)
     async_ba: bool = True  # never block tracking on the window solve: the
     # BA launched at keyframe N is fetched/written back at keyframe N+1 and
     # its rigid correction forward-propagated (the reference backend
@@ -415,7 +417,21 @@ class Estimator:
                 parsed[k] = cast(c.get(k))
         parsed.update(overrides)  # caller overrides beat YAML values
         ecfg = EstimatorConfig(**parsed)
-        return cls(cam0, cam1, ecfg, lidar_extrinsic=lidar_ext)
+        est = cls(cam0, cam1, ecfg, lidar_extrinsic=lidar_ext)
+        if flags.get("use_adapt"):
+            # reference use_adapt wires the RL weight agent into the
+            # backend (estimator.cpp Agent::SetCore); here the preset
+            # names a policy pickle (default: the shipped artifact)
+            import os as _os
+            repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))))
+            ppath = str(c.get("policy_path",
+                              _os.path.join(repo, "misc", "td3_policy.pkl")))
+            if _os.path.exists(ppath):
+                from lvio_fusion_tpu.adapt.agent import Agent, load_policy
+                from lvio_fusion_tpu.adapt.td3 import TD3
+                est.set_agent(Agent(load_policy(TD3(seed=0), ppath)))
+        return est
 
     def _kf_observation(self, kf_idx):
         """(4,12,3) observation grid for a new keyframe
@@ -1135,6 +1151,41 @@ class Estimator:
     # per-slot generation guard. Mirrors the reference's never-blocking
     # frontend/backend split (backend.cpp:28-40) at batch granularity.
 
+    @staticmethod
+    def _pack_pipe_aux(corr, use_corr, dts, lm_refresh, imu_parts,
+                       refresh_gen, kill_gen, gen):
+        """Single source of truth for the packed per-flush aux layout
+        consumed by frontend.make_pipe_step (static offsets). Used by
+        `_flush_pipe` and by `neutral_pipe_aux` (the device profiler's
+        probe args, misc/prof_pipe.py) so the two can never drift."""
+        aux_f32 = np.concatenate(
+            [np.asarray(corr, np.float32).ravel(),
+             np.array([1.0 if use_corr else 0.0], np.float32),
+             np.asarray(dts, np.float32).ravel(),
+             np.asarray(lm_refresh, np.float32).ravel()]
+            + list(imu_parts)).astype(np.float32)
+        aux_i32 = np.concatenate(
+            [np.asarray(refresh_gen, np.int32),
+             np.asarray(kill_gen, np.int32),
+             np.array([gen], np.int32)]).astype(np.int32)
+        return aux_f32, aux_i32
+
+    def neutral_pipe_aux(self, dt=0.1, gen=99):
+        """Probe-neutral packed per-flush aux (identity correction, no
+        landmark refresh/kill, uniform frame dt, no IMU): the dispatch
+        payload misc/prof_pipe.py times raw pipe_step execution with."""
+        c = self.config
+        N = c.num_features
+        return self._pack_pipe_aux(
+            corr=np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
+            use_corr=False,
+            dts=np.full(c.frame_batch, dt, np.float32),
+            lm_refresh=np.zeros((N, 3), np.float32),
+            imu_parts=[],
+            refresh_gen=np.full(N, -1, np.int32),
+            kill_gen=np.full(N, -1, np.int32),
+            gen=gen)
+
     def _flush_pipe(self):
         from lvio_fusion_tpu.utils import np_se3
         from lvio_fusion_tpu.utils.profiling import TIMERS
@@ -1251,13 +1302,9 @@ class Estimator:
                       + times).astype(np.float32)
         # ONE f32 + ONE i32 upload for all small per-flush args (each
         # separate jnp.asarray is a full slow-mode relay enqueue)
-        aux_f32 = np.concatenate(
-            [corr.astype(np.float32),
-             np.array([1.0 if use_corr else 0.0], np.float32),
-             dts, lm_refresh.ravel()] + imu_parts).astype(np.float32)
-        aux_i32 = np.concatenate(
-            [refresh_gen, kill_gen,
-             np.array([gen], np.int32)]).astype(np.int32)
+        aux_f32, aux_i32 = self._pack_pipe_aux(
+            corr, use_corr, dts, lm_refresh, imu_parts,
+            refresh_gen, kill_gen, gen)
         p = self._pipe
         out = self._pipe_step(
             tuple(self._img_dev(l) for _, l, _ in buf),

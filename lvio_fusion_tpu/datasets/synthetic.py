@@ -164,7 +164,8 @@ def _make_sequence_impl(num_frames=40, H=240, W=360, num_points=400,
                   imu_rate=200.0, g_norm=9.81007, with_lidar=False,
                   lidar_rows=16, lidar_cols=360, ground_y=1.8,
                   closed_loop=False, loop_turns=1.0, exposure_drift=0.0,
-                  pixel_noise=0.0, num_occluders=0) -> Sequence:
+                  pixel_noise=0.0, num_occluders=0, fx=None, cx=None,
+                  cy=None, baseline=0.5) -> Sequence:
     """``closed_loop=True`` sets yaw_rate so the constant-twist trajectory
     traces ``loop_turns`` revolutions of a circle (revisiting covered
     ground — loop-closure testable; use >1 turn so revisits happen while
@@ -175,9 +176,11 @@ def _make_sequence_impl(num_frames=40, H=240, W=360, num_points=400,
     units); ``num_occluders`` — moving dark rectangles pasted per frame.
     """
     rng = np.random.default_rng(seed)
-    fx = fy = 0.9 * W
-    cx, cy = W / 2.0, H / 2.0
-    baseline = 0.5
+    # default intrinsics scale with the frame; callers can pin the exact
+    # calibration of a real rig (e.g. KITTI fx=718.856, baseline=0.5372)
+    fx = fy = (0.9 * W if fx is None else float(fx))
+    cx = W / 2.0 if cx is None else float(cx)
+    cy = H / 2.0 if cy is None else float(cy)
     cam_left = Camera.create(fx, fy, cx, cy, se3_identity())
     cam_right = Camera.create(
         fx, fy, cx, cy,

@@ -26,6 +26,7 @@ bidirectional/in-bounds gates reject. ~4x faster end to end.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -124,8 +125,10 @@ def _fetch_blocks(img, corners_xy, S: int, mode=None):
     cx = jnp.clip(corners_xy[:, 0], 0.0, W - S)
     cy = jnp.clip(corners_xy[:, 1], 0.0, H - S)
     if mode is None:
-        mode = ("mm" if jax.default_backend() in ("tpu", "axon")
-                else "slice")
+        # LVIO_LK_FETCH=mm|slice forces a path (on-chip A/B knob)
+        mode = os.environ.get("LVIO_LK_FETCH") or (
+            "mm" if jax.default_backend() in ("tpu", "axon")
+            else "slice")
     if mode == "mm":
         iy = cy.astype(jnp.int32)
         ix = cx.astype(jnp.int32)

@@ -117,3 +117,77 @@ def save_run_overview(path: str, m, pose_graph=None, navsat=None,
     fig.savefig(path, dpi=130, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def save_frusta_ply(path: str, m, cam, height: int, width: int,
+                    depth: float = 0.5, stride: int = 1):
+    """Camera-frustum wireframes + car pose as a PLY line set.
+
+    The 3D-export analogue of the reference's live RViz camera markers
+    (camera_pose.cpp:1-206 CameraPoseVisualization: per-keyframe frustum
+    wireframes; visualization.cpp car TF/mesh): one 8-edge frustum per
+    (strided) keyframe in map frame, the latest keyframe highlighted,
+    plus an RGB axis triad marking the current car pose. Loads alongside
+    the global lidar map PLY (same coordinate frame) in any viewer.
+    """
+    from lvio_fusion_tpu.utils import np_se3
+
+    ext = np.asarray(cam.extrinsic, np.float64)
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    # frustum template in SENSOR frame: optical center + 4 image corners
+    corners_px = np.array([[0.0, 0.0], [width, 0.0],
+                           [width, height], [0.0, height]])
+    sens = np.concatenate([
+        np.zeros((1, 3)),
+        np.stack([(corners_px[:, 0] - cx) / fx * depth,
+                  (corners_px[:, 1] - cy) / fy * depth,
+                  np.full(4, depth)], axis=1)])
+    # 8 edges: center->corner x4 + corner ring x4
+    tmpl_edges = [(0, 1), (0, 2), (0, 3), (0, 4),
+                  (1, 2), (2, 3), (3, 4), (4, 1)]
+
+    verts, edges, vcols = [], [], []
+    kfs = list(range(0, m.num_kfs, max(stride, 1)))
+    if m.num_kfs and kfs[-1] != m.num_kfs - 1:
+        kfs.append(m.num_kfs - 1)
+    for k in kfs:
+        Twc = np_se3.se3_mul(np.asarray(m.kf_pose[k], np.float64), ext)
+        pts = np_se3.se3_apply_batch(Twc, sens)
+        base = len(verts)
+        col = ((214, 39, 40) if k == m.num_kfs - 1 else (31, 95, 191))
+        verts.extend(pts)
+        vcols.extend([col] * len(pts))
+        edges.extend([(base + a, base + b) for a, b in tmpl_edges])
+
+    # car pose: axis triad at the latest keyframe (x fwd red, y green,
+    # z blue in the BODY frame — the reference's car TF)
+    if m.num_kfs:
+        Twb = np.asarray(m.kf_pose[m.num_kfs - 1], np.float64)
+        o = Twb[4:]
+        axes = np_se3.se3_apply_batch(
+            Twb, np.eye(3) * 2.0 * depth) - o
+        for ax_i, col in enumerate(((255, 0, 0), (0, 255, 0),
+                                    (0, 0, 255))):
+            base = len(verts)
+            verts.extend([o, o + axes[ax_i]])
+            vcols.extend([col, col])
+            edges.append((base, base + 1))
+
+    verts = np.asarray(verts, np.float64)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(verts)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\n"
+                "property uchar blue\n"
+                f"element edge {len(edges)}\n"
+                "property int vertex1\nproperty int vertex2\n"
+                "end_header\n")
+        for p, c in zip(verts, vcols):
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} "
+                    f"{c[0]} {c[1]} {c[2]}\n")
+        for a, b in edges:
+            f.write(f"{a} {b}\n")
+    return len(edges)

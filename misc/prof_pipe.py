@@ -17,8 +17,6 @@ frame-time budget).
 import os
 import time
 
-import numpy as np
-
 
 def main():
     os.environ.setdefault("BENCH_FRAMES", "40")
@@ -51,12 +49,9 @@ def main():
     payloads = tuple(jax.device_put(est._dct(est._to_u8(fr.left)))
                      for fr in seq.frames[-batch:])
     right = jax.device_put(est._dct(est._to_u8(seq.frames[-1].right)))
-    N = cfg.num_features
-    aux_f = np.zeros(8 + batch + 3 * N, np.float32)
-    aux_f[0] = 1.0  # identity quat corr, use_corr stays 0
-    aux_f[8:8 + batch] = 0.1
-    aux_i = np.concatenate([np.full(2 * N, -1, np.int32),
-                            np.array([99], np.int32)])
+    # packed aux layout comes from the estimator itself (single source
+    # of truth — Estimator._pack_pipe_aux), not hand-built offsets
+    aux_f, aux_i = est.neutral_pipe_aux(dt=0.1)
     args = (payloads, right, p["pyr"], p["feat_px"], p["feat_valid"],
             p["feat_gen"], p["lm_world"], p["pose"], p["relative"],
             p["vel"], p["t_since_kf"])
@@ -81,8 +76,7 @@ def main():
     # no-keyframe batch: fresh gen + zero dts keeps t_since below the
     # trigger ONLY if the chain state's t_since is low — instead
     # compare against a chain state right after a keyframe
-    est2_aux = aux_f.copy()
-    est2_aux[8:8 + batch] = 0.0
+    est2_aux, _ = est.neutral_pipe_aux(dt=0.0)
     run(8, "pipe_step (dt=0 batch) ", est2_aux)
 
 

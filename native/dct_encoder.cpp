@@ -9,7 +9,10 @@
 // quantization, per-block AC scale, optional int4 nibble packing),
 // callable per camera frame from the buffering path. It replaces the
 // jitted XLA:CPU encode program on hosts where the library builds —
-// same payload bytes, no XLA dispatch, GIL released for the whole call
+// same payload bytes modulo rare one-quantization-step flips on FMA
+// builds (the AVX2 first pass fuses mul+add, so ties can round the
+// other way vs the XLA mul-then-add; test_native_dct tolerates <=0.5%
+// byte disagreement), no XLA dispatch, GIL released for the whole call
 // (ctypes), so frame encodes overlap the device flush even on a
 // single-core host.
 //

@@ -45,3 +45,22 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long end-to-end gates (hostile sequence); "
         "deselect with -m 'not slow' for a quick pass")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Abort a full-suite run in ONE process before it hits the known
+    XLA:CPU accumulated-JIT-state segfault (~test 132, root-caused r5 —
+    not fixable from Python). The chunked runner is the supported entry.
+    Override with LVIO_ALLOW_FULL_SUITE=1 if you really mean it.
+    """
+    files = {item.fspath for item in items}
+    if (len(files) > 12
+            and os.environ.get("LVIO_ALLOW_FULL_SUITE", "") != "1"
+            and os.environ.get("LVIO_SUITE_CHUNK", "") != "1"):
+        import pytest
+        raise pytest.UsageError(
+            f"{len(files)} test files collected in one process: a full "
+            "single-process run segfaults deterministically in XLA:CPU "
+            "at ~test 132 (accumulated JIT state — see CLAUDE.md). Use "
+            "`python tests/run_suite.py` (chunked across processes), or "
+            "set LVIO_ALLOW_FULL_SUITE=1 to proceed anyway.")

@@ -42,11 +42,27 @@ def main(argv=None):
     args, pytest_args = ap.parse_known_args(argv)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # positional test files select a subset; remaining unknown args are
-    # forwarded to every pytest invocation
-    files = sorted(a for a in pytest_args
-                   if a.endswith(".py") and os.path.exists(a))
-    pytest_args = [a for a in pytest_args if a not in files]
+    # positional selections: plain files OR pytest node-ids
+    # (tests/test_x.py::test_y). The FILE part decides which chunk runs;
+    # the node-id is passed only with its own file so the selected test
+    # runs exactly once. A .py-looking arg that matches no file is an
+    # error (silently running the whole suite instead was a trap).
+    selections = []  # (file, original arg)
+    fwd = []
+    for a in pytest_args:
+        fpart = a.split("::", 1)[0]
+        if fpart.endswith(".py"):
+            cand = fpart if os.path.exists(fpart) else os.path.join(
+                here, os.path.basename(fpart))
+            if not os.path.exists(cand):
+                print(f"[run_suite] no such test file: {a}",
+                      file=sys.stderr)
+                return 2
+            selections.append((cand, cand + a[len(fpart):]))
+        else:
+            fwd.append(a)
+    pytest_args = fwd
+    files = sorted(arg for _, arg in selections)
     if not files:
         files = sorted(glob.glob(os.path.join(here, "test_*.py")))
     if not files:
@@ -56,6 +72,8 @@ def main(argv=None):
               for i in range(0, len(files), args.chunk_size)]
 
     env = dict(os.environ)
+    env["LVIO_SUITE_CHUNK"] = "1"  # each child is a bounded chunk; the
+    # conftest full-suite guard must not fire on large --chunk-size runs
     if args.cache_write:
         env["LVIO_TEST_CACHE_WRITE"] = "1"
 

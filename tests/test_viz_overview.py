@@ -30,3 +30,32 @@ def test_save_run_overview_writes_figure(tmp_path):
     # empty map must not crash (run aborted before the first keyframe)
     from lvio_fusion_tpu.core.hostmap import HostMap
     save_run_overview(str(tmp_path / "empty.png"), HostMap())
+
+
+def test_save_frusta_ply(tmp_path):
+    from lvio_fusion_tpu.utils.viz import save_frusta_ply
+
+    rng = np.random.default_rng(3)
+    m, gt, cam_l, cam_r = _make_world(rng)
+    out = tmp_path / "frusta.ply"
+    n_edges = save_frusta_ply(str(out), m, cam_l, height=240, width=360,
+                              stride=2)
+    assert out.exists()
+    # 8 edges per drawn frustum + 3 car-pose axis edges
+    txt = out.read_text().splitlines()
+    n_v = int(next(x for x in txt if x.startswith("element vertex"))
+              .split()[-1])
+    n_e = int(next(x for x in txt if x.startswith("element edge"))
+              .split()[-1])
+    assert n_e == n_edges and n_e >= 8 + 3
+    hdr_end = txt.index("end_header")
+    verts = np.array([[float(v) for v in ln.split()[:3]]
+                      for ln in txt[hdr_end + 1:hdr_end + 1 + n_v]])
+    assert np.all(np.isfinite(verts))
+    edges = np.array([[int(v) for v in ln.split()]
+                      for ln in txt[hdr_end + 1 + n_v:]])
+    assert edges.shape == (n_e, 2)
+    assert edges.min() >= 0 and edges.max() < n_v
+    # frustum vertices must sit near the keyframe path, not at infinity
+    P = m.poses_array()[:, 4:]
+    assert np.abs(verts - P.mean(0)).max() < np.abs(P).max() + 10.0
