@@ -21,8 +21,12 @@ def main():
     from lvio_fusion_tpu.datasets.synthetic import make_sequence
 
     H, W = int(os.environ.get("BENCH_H", 376)), int(os.environ.get("BENCH_W", 1241))
-    batch = int(os.environ.get("BENCH_BATCH", 12))  # r5 on-chip sweep:
-    # pipelined b10 -> 49.3, b12 -> 55.0/66.4, b14 -> 57.3 fps
+    batch = int(os.environ.get("BENCH_BATCH", 20))  # r7 on-chip sweep
+    # (post-MXU-LK-fetch, misc/ab_r07_sweep2.log + ab_r07_final.log):
+    # b20 wins 6/9 within-round pairings vs b12 (~147 vs ~135 median
+    # over all samples) and is accuracy-neutral (bench-scale kf-RMSE
+    # 0.088 vs 0.102 m, misc/bench_ate.py). r5's b12 pick predated the
+    # MXU fetch (dispatch overhead then dominated smaller batches).
     n_frames = int(os.environ.get("BENCH_FRAMES", 124))  # 28 warmup +
     # 96 timed = 8 pipelined flushes: the tunnel RTT swings ~2x between
     # moments, so short runs (64 -> 3 timed flushes) were too noisy to

@@ -31,15 +31,17 @@ def _perf_overrides(args, yaml_path: str = ""):
 
     Precedence: explicit CLI flag > preset-YAML perf key > backend auto.
     Auto picks the measured-best configuration for the active backend
-    (r5/r6 on-chip A/B, misc/ab_r05*.log + BENCH_r04: pipelined batch-12
-    with int4 DCT-16 payloads, 113-116 fps vs ~35 for the single-frame
-    sync path through the axon tunnel); CPU runs keep the conservative
-    single-frame sync path the test suite compiles. The reference ships
-    its tuned settings per dataset YAML (config/kitti.yaml) — perf keys
-    in OUR preset YAMLs are honored the same way.
+    (r7 on-chip interleaved A/B, misc/ab_r07_*.log: pipelined batch-20
+    with int4 DCT-16 payloads + the MXU LK block fetch, ~147 fps median
+    — accuracy-neutral vs batch 12 at bench scale, 0.088 vs 0.102 m
+    kf-RMSE — vs ~35 fps for the single-frame sync path through the
+    axon tunnel); CPU runs keep the conservative single-frame sync path
+    the test suite compiles. The reference ships its tuned settings per
+    dataset YAML (config/kitti.yaml) — perf keys in OUR preset YAMLs
+    are honored the same way.
     """
     import jax
-    fast = dict(frame_batch=12, pipelined_flush=True, dct_k=16,
+    fast = dict(frame_batch=20, pipelined_flush=True, dct_k=16,
                 dct_quality=100, dct_bits=4)
     safe = dict(frame_batch=1, pipelined_flush=False, dct_k=0,
                 dct_quality=100, dct_bits=4)

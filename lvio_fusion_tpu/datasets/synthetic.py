@@ -165,7 +165,8 @@ def _make_sequence_impl(num_frames=40, H=240, W=360, num_points=400,
                   lidar_rows=16, lidar_cols=360, ground_y=1.8,
                   closed_loop=False, loop_turns=1.0, exposure_drift=0.0,
                   pixel_noise=0.0, num_occluders=0, fx=None, cx=None,
-                  cy=None, baseline=0.5) -> Sequence:
+                  cy=None, baseline=0.5, lidar_noise=0.0,
+                  lidar_dropout=0.0) -> Sequence:
     """``closed_loop=True`` sets yaw_rate so the constant-twist trajectory
     traces ``loop_turns`` revolutions of a circle (revisiting covered
     ground — loop-closure testable; use >1 turn so revisits happen while
@@ -358,6 +359,18 @@ def _make_sequence_impl(num_frames=40, H=240, W=360, num_points=400,
             dirs_w = dirs_l @ Rwl.T
             origin = T[4:]
             t_hit, hit = raycast_scene(origin, dirs_w, ground_y, boxes)
+            if lidar_noise or lidar_dropout:
+                # degraded-lidar regime (rain/dust/range jitter): additive
+                # range noise in meters + random returns dropped — the
+                # scene family where lidar factors mislead and adaptive
+                # DOWN-weighting of lidar must help (paper regime B)
+                nrng = np.random.default_rng(seed * 31337 + i)
+                if lidar_noise:
+                    t_hit = t_hit + nrng.normal(
+                        0, lidar_noise, t_hit.shape).astype(t_hit.dtype)
+                if lidar_dropout:
+                    hit = hit & (nrng.uniform(size=hit.shape)
+                                 >= lidar_dropout)
             d_hit = dirs_w[hit] * t_hit[hit][:, None]
             # world -> lidar (rotation only; lidar co-located with camera)
             p_l = d_hit @ Rwl

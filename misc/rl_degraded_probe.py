@@ -82,18 +82,22 @@ def main():
         "degraded_visual": dict(num_points=120, pixel_noise=0.06,
                                 num_occluders=6, exposure_drift=0.25,
                                 seed=41),
-        "degraded_visual_s2": dict(num_points=120, pixel_noise=0.06,
-                                   num_occluders=6, exposure_drift=0.25,
-                                   seed=43),
+        # regime B: degraded lidar (range jitter + dropout), clean
+        # visuals — lidar factors actively mislead the refine stages
+        "degraded_lidar": dict(lidar_noise=0.15, lidar_dropout=0.3,
+                               seed=44),
+        "degraded_lidar_s2": dict(lidar_noise=0.15, lidar_dropout=0.3,
+                                  seed=45),
         # control: clean scene (defaults should already be near-optimal)
         "clean": dict(seed=42),
     }
     arms = {
         "default": dict(weights=None),
-        "vis_x0.3": dict(weights=dw * np.array([0.3, 1, 1])),
         "vis_x0.1": dict(weights=dw * np.array([0.1, 1, 1])),
-        "vis_x0.03": dict(weights=dw * np.array([0.03, 1, 1])),
-        "lidar_x10": dict(weights=dw * np.array([1, 10, 10])),
+        "surf_x100": dict(weights=dw * np.array([1, 1, 100])),
+        "lidar_x0.1": dict(weights=dw * np.array([1, 0.1, 0.1])),
+        "lidar_x0.01": dict(weights=dw * np.array([1, 0.01, 0.01])),
+        "vis_x10": dict(weights=dw * np.array([10, 1, 1])),
     }
     art = os.path.join(os.path.dirname(__file__), "td3_policy.pkl")
     if os.path.exists(art):

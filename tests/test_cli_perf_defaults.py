@@ -34,8 +34,9 @@ def test_auto_is_conservative_on_cpu():
 def test_auto_is_fast_config_on_tpu(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     ov = cli._perf_overrides(_args())
-    # the bench's own configuration (bench.py defaults / BENCH_r04)
-    assert ov == dict(frame_batch=12, pipelined_flush=True, dct_k=16,
+    # the bench's own configuration (bench.py defaults; r7 A/B pinned
+    # batch 20, misc/ab_r07_final.log + bench_ate accuracy gate)
+    assert ov == dict(frame_batch=20, pipelined_flush=True, dct_k=16,
                       dct_quality=100, dct_bits=4)
 
 
