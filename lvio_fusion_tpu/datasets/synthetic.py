@@ -166,7 +166,8 @@ def _make_sequence_impl(num_frames=40, H=240, W=360, num_points=400,
                   closed_loop=False, loop_turns=1.0, exposure_drift=0.0,
                   pixel_noise=0.0, num_occluders=0, fx=None, cx=None,
                   cy=None, baseline=0.5, lidar_noise=0.0,
-                  lidar_dropout=0.0) -> Sequence:
+                  lidar_dropout=0.0, lidar_range_scale=1.0,
+                  lidar_scale_drift=0.0) -> Sequence:
     """``closed_loop=True`` sets yaw_rate so the constant-twist trajectory
     traces ``loop_turns`` revolutions of a circle (revisiting covered
     ground — loop-closure testable; use >1 turn so revisits happen while
@@ -359,6 +360,19 @@ def _make_sequence_impl(num_frames=40, H=240, W=360, num_points=400,
             dirs_w = dirs_l @ Rwl.T
             origin = T[4:]
             t_hit, hit = raycast_scene(origin, dirs_w, ground_y, boxes)
+            if lidar_range_scale != 1.0 or lidar_scale_drift:
+                # SYSTEMATIC range miscalibration. A CONSTANT scale is
+                # self-consistent (scan-to-map matches biased scans to a
+                # map built from the same biased scans — measured e2e
+                # neutral, misc/rl_degraded_probe.py v3); a time-VARYING
+                # scale (thermal drift) makes each scan disagree with
+                # the map built at other phases — the regime where
+                # per-frame lidar weighting has end-to-end leverage
+                s = lidar_range_scale
+                if lidar_scale_drift:
+                    s = s * (1.0 + lidar_scale_drift
+                             * np.sin(2 * np.pi * i / 20.0))
+                t_hit = t_hit * np.float32(s)
             if lidar_noise or lidar_dropout:
                 # degraded-lidar regime (rain/dust/range jitter): additive
                 # range noise in meters + random returns dropped — the

@@ -76,25 +76,25 @@ def run_scene(scene_kw, weights=None, policy_path=None, frames=40):
 def main():
     fx = 0.9 * 360  # synthetic fx at W=360
     dw = np.array([fx / 10.0, 1.0, 0.01], np.float32)
+    # v2 probe measured e2e ATE INSENSITIVE (+-2%) to 3 decades of
+    # global weight change on zero-mean degradations (noise/occluders/
+    # jitter): all sensors still AGREE on the optimum, so the robust
+    # losses + outlier gates absorb the corruption. Weights have e2e
+    # leverage only when a sensor systematically DISAGREES — v3 probes
+    # a biased lidar (range-scale miscalibration).
+    # v3 found CONSTANT range bias also e2e-neutral: scan-to-map is
+    # self-referential (the map is built from the same biased scans), so
+    # a constant miscalibration never disagrees with itself. v4 probes a
+    # time-VARYING scale (thermal drift): each scan now disagrees with
+    # the map built at other phases of the drift.
     scenes = {
-        # the claim's regime A: weak visuals (sparse, noisy, occluded),
-        # clean lidar+imu
-        "degraded_visual": dict(num_points=120, pixel_noise=0.06,
-                                num_occluders=6, exposure_drift=0.25,
-                                seed=41),
-        # regime B: degraded lidar (range jitter + dropout), clean
-        # visuals — lidar factors actively mislead the refine stages
-        "degraded_lidar": dict(lidar_noise=0.15, lidar_dropout=0.3,
-                               seed=44),
-        "degraded_lidar_s2": dict(lidar_noise=0.15, lidar_dropout=0.3,
-                                  seed=45),
+        "drifting_lidar_5pct": dict(lidar_scale_drift=0.05, seed=44),
+        "drifting_lidar_10pct": dict(lidar_scale_drift=0.10, seed=45),
         # control: clean scene (defaults should already be near-optimal)
         "clean": dict(seed=42),
     }
     arms = {
         "default": dict(weights=None),
-        "vis_x0.1": dict(weights=dw * np.array([0.1, 1, 1])),
-        "surf_x100": dict(weights=dw * np.array([1, 1, 100])),
         "lidar_x0.1": dict(weights=dw * np.array([1, 0.1, 0.1])),
         "lidar_x0.01": dict(weights=dw * np.array([1, 0.01, 0.01])),
         "vis_x10": dict(weights=dw * np.array([10, 1, 1])),
