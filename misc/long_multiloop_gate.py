@@ -20,24 +20,51 @@ import time
 import numpy as np
 
 
-def run_seed(seed: int, frames: int = 520):
+def run_seed(seed: int, frames: int = 520, num_points: int = None,
+             speed: float = 1.4):
     from lvio_fusion_tpu.core.estimator import Estimator, EstimatorConfig
     from lvio_fusion_tpu.datasets.synthetic import make_sequence
+    from lvio_fusion_tpu.utils.cache import enable_persistent_cache
     from lvio_fusion_tpu.utils.trajectory import ate_rmse
 
+    enable_persistent_cache()
+
     H, W = 376, 1241
+    # landmark density must track path length: the KITTI-true fx (718.9
+    # at 1241 px wide, ~30 deg vertical FOV) sees far fewer of the blob
+    # field per frustum than the 0.9*W default — 2500 points over a
+    # 104 m course starved tracking into keyframing every frame
+    # (first r7 attempt: 338 kfs, ATE 45%). ~120 points per traveled
+    # meter matches the bench's working density at this FOV.
+    if num_points is None:
+        num_points = int(240 * speed * frames * 0.1)
+    print(f"seed {seed}: rendering {frames} frames "
+          f"({num_points} points)...", flush=True)
+    t_r = time.perf_counter()
+    # per-frame yaw must stay within LK's rotational-flow budget at
+    # KITTI fx (~0.03 rad/frame = ~21 px): closed_loop spreads
+    # loop_turns over num_frames, so scale turns with frames (2.4 turns
+    # over 520 frames; a shorter pilot keeps the same yaw rate)
+    turns = 2.4 * frames / 520.0
     seq = make_sequence(
-        num_frames=frames, H=H, W=W, num_points=4000, seed=seed,
-        speed=2.0, closed_loop=True, loop_turns=2.4,
+        num_frames=frames, H=H, W=W, num_points=num_points, seed=seed,
+        speed=speed, closed_loop=True, loop_turns=turns,
         fx=718.856, cx=607.1928, cy=185.2157, baseline=0.5372,
         with_imu=True, imu_rate=200.0,
         with_lidar=True, lidar_rows=16, lidar_cols=720)
+    print(f"seed {seed}: render {time.perf_counter() - t_r:.0f}s",
+          flush=True)
+    # keyframe threshold scaled to the FIXTURE's supply: the blob field
+    # at KITTI FOV yields ~100-200 trackable features per frame (real
+    # KITTI imagery has thousands of corners for the reference's 120
+    # threshold); 120-needed keyframed EVERY frame and starved
+    # triangulation in the first r7 attempt
     cfg = EstimatorConfig(
         height=H, width=W, num_features=400, num_features_init=50,
-        num_features_tracking_bad=20, num_features_needed_for_keyframe=120,
+        num_features_tracking_bad=20, num_features_needed_for_keyframe=70,
         window_kfs=8, landmark_slots=512, obs_slots=2048, po_slots=1024,
-        ba_iters=5,
-        use_imu=True, init_kfs=8,
+        ba_iters=5, init_kfs=8,
+        use_imu=True,
         use_lidar=True, num_scans=16, horizon_scan=720, ang_res_y=2.0,
         ang_bottom=15.0, ground_rows=8, min_range=1.0, max_range=50.0,
         max_scan_points=16384, max_ground=512, max_surf=512,
@@ -50,6 +77,9 @@ def run_seed(seed: int, frames: int = 520):
     t0 = time.perf_counter()
     imu_i = 0
     for i, fr in enumerate(seq.frames):
+        if i % 100 == 0:
+            print(f"seed {seed}: frame {i} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
         while (imu_i < len(seq.imu_times)
                and seq.imu_times[imu_i] <= fr.time):
             est.input_imu(seq.imu_times[imu_i], seq.imu_acc[imu_i],
@@ -76,6 +106,10 @@ def run_seed(seed: int, frames: int = 520):
 
 
 def main():
+    if len(sys.argv) > 1:  # single-seed mode (wrappers with tight
+        # per-process timeouts run one seed per process)
+        run_seed(int(sys.argv[1]))
+        return
     res = [run_seed(s) for s in (21, 22, 23)]
     ates = np.array([r[0] for r in res])
     totals = np.array([r[1] for r in res])
