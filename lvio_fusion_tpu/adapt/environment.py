@@ -31,6 +31,7 @@ from lvio_fusion_tpu.adapt.observation import (
 from lvio_fusion_tpu.core.frontend import pose_only_refine
 from lvio_fusion_tpu.geometry.se3 import se3_inv, se3_mul, se3_to_rpyxyz
 from lvio_fusion_tpu.lidar.mapping import _masked_gn, dof_masks
+from lvio_fusion_tpu.utils.precision import f32_solver
 
 
 @flax.struct.dataclass
@@ -94,6 +95,7 @@ def _imu_pose_residual(tables: EnvTables, kf, pose):
         tables.imu_sqrt_info[kf], tables.g_norm)
 
 
+@f32_solver
 def _solve_one(tables: EnvTables, kf, weights, cam, up_axis, resolution):
     """Re-optimize one keyframe pose under the given weights."""
     init = tables.poses_init[kf]  # gt like the reference, or the drifted

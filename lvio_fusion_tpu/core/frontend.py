@@ -106,7 +106,19 @@ def pose_only_refine(pose0, lm_world, obs_px, ok, cam, iters: int = 6,
     With ``axis_name`` (inside a shard_map over the feature axis) the
     6x6 normal equations are psum-reduced across devices, so each shard
     contributes only its features and every device solves the identical
-    replicated system (parallel/sharded_frontend.py)."""
+    replicated system (parallel/sharded_frontend.py).
+
+    Solver matmuls run at full f32 multiply precision (TPU defaults to
+    bf16 multiplies — see core/imu_init.py for the measured failure);
+    the (N,6) jacobian work is negligible next to the LK stage."""
+    with jax.default_matmul_precision("highest"):
+        return _pose_only_refine_impl(pose0, lm_world, obs_px, ok, cam,
+                                      iters, huber_px, reject_px,
+                                      axis_name)
+
+
+def _pose_only_refine_impl(pose0, lm_world, obs_px, ok, cam, iters,
+                           huber_px, reject_px, axis_name):
     w = ok.astype(pose0.dtype)
     # sanitize masked rows: their world points may be garbage (0,0,0)
     safe = jnp.array([0.0, 0.0, 10.0], dtype=pose0.dtype)

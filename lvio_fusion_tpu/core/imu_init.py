@@ -78,6 +78,19 @@ def inertial_init(poses, pre: Preintegration, g_norm, iters: int = 10,
     K = poses.shape[0]
     dtype = poses.dtype
 
+    # TPU matmuls default to bf16 multiplies (f32 accumulate), which is
+    # fatal for this stiff 9+3K-dim normal solve: measured on the axon
+    # chip, the DEFAULT-precision solve returns |v| ~ 23 m/s on a
+    # ground-truth 1.4 m/s window (CPU: 1.65) and silently poisons VI
+    # init. Pin full-f32 multiplies for everything traced here — the
+    # system is tiny, so the extra MXU passes are free.
+    with jax.default_matmul_precision("highest"):
+        return _inertial_init_impl(poses, pre, g_norm, iters,
+                                   prior_bg, prior_ba, K, dtype)
+
+
+def _inertial_init_impl(poses, pre, g_norm, iters, prior_bg, prior_ba,
+                        K, dtype):
     # ---- stage 1: closed-form guesses (initializer.cpp:10-29) ----
     dts = pre.sum_dt
     dpos = poses[1:, 4:] - poses[:-1, 4:]

@@ -71,7 +71,21 @@ def knn3_planes(query_w, query_valid, map_pts, map_valid, dist_thresh):
 
 def _masked_gn(pose, pose_prior, pts_body, pts_valid, map_pts, map_valid,
                dof_mask, dist_thresh, w_point, w_prior, iters: int):
-    """DoF-masked Gauss-Newton point-to-plane alignment."""
+    """DoF-masked Gauss-Newton point-to-plane alignment.
+
+    Solver matmuls (jacfwd, J^T J, the 6x6 solve) run at full f32
+    multiply precision — TPU's default bf16 multiplies corrupt stiff
+    normal equations (see core/imu_init.py); the system here is tiny,
+    so the extra passes are free."""
+    with jax.default_matmul_precision("highest"):
+        return _masked_gn_impl(pose, pose_prior, pts_body, pts_valid,
+                               map_pts, map_valid, dof_mask, dist_thresh,
+                               w_point, w_prior, iters)
+
+
+def _masked_gn_impl(pose, pose_prior, pts_body, pts_valid, map_pts,
+                    map_valid, dof_mask, dist_thresh, w_point, w_prior,
+                    iters: int):
     mask = jnp.asarray(dof_mask, pose.dtype)
 
     def body(pose, _):

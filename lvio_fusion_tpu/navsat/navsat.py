@@ -26,6 +26,7 @@ from lvio_fusion_tpu.geometry.se3 import (
     rpyxyz_to_se3, se3_apply, se3_boxplus, se3_inv, se3_mul,
 )
 from lvio_fusion_tpu.solver import factors
+from lvio_fusion_tpu.utils.precision import f32_solver
 from lvio_fusion_tpu.solver.assemble import Contribution, assemble
 from lvio_fusion_tpu.solver.lm import lm_solve, pin_invalid
 
@@ -324,6 +325,7 @@ class Navsat:
 from functools import partial
 
 
+@f32_solver
 @partial(jax.jit, static_argnames=("iters",))
 def _init_refine(ext0, raw, kf_p, valid, iters: int = 8):
     """Full 6-DoF GN on the ENU->map extrinsic: min sum over keyframes of
@@ -350,6 +352,7 @@ def _init_refine(ext0, raw, kf_p, valid, iters: int = 8):
     return se3_boxplus(ext0, xi)
 
 
+@f32_solver
 @partial(jax.jit, static_argnames=("iters",))
 def _bc_solve(base_pose, rel_p, fixp, valid, dof_mask, z_prior_w=0.0,
               iters: int = 6):
@@ -380,6 +383,7 @@ def _bc_solve(base_pose, rel_p, fixp, valid, dof_mask, z_prior_w=0.0,
     return se3_mul(base_pose, rpyxyz_to_se3(para * dof_mask))
 
 
+@f32_solver
 @jax.jit
 def _ab_solve(poses0, fixp, fix_valid, n_act):
     """LM over inner poses of a turning segment: relative-pose chain

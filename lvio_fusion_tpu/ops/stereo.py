@@ -15,8 +15,10 @@ import jax
 import jax.numpy as jnp
 
 from lvio_fusion_tpu.geometry.se3 import se3_inv, se3_mul, se3_to_mat
+from lvio_fusion_tpu.utils.precision import f32_solver
 
 
+@f32_solver
 def triangulate(T_w_s0, T_w_s1, uv0, uv1):
     """Triangulate world points from two sensor poses + normalized camera
     coords (pinhole, z=1 plane).

@@ -111,7 +111,21 @@ def lm_solve(
     Per iteration: linearize, Schur-solve, retract, accept if the cost
     dropped, adapt damping. The build/cost functions close over the factor
     tables; everything is fixed shape.
+
+    All matmuls traced in the loop (factor jacfwd, normal-equation
+    assembly, the Schur solve) run at FULL f32 multiply precision: TPU's
+    default bf16 multiplies lose ~16 mantissa bits per operand, which a
+    stiff mixed-factor window cannot afford (measured catastrophic on
+    the VI-init solve, core/imu_init.py). The window system is tiny
+    next to the image-path work, so the extra MXU passes are free.
     """
+    with jax.default_matmul_precision("highest"):
+        return _lm_solve_impl(params, build_fn, retract_fn, cost_fn,
+                              num_iters, init_lamb)
+
+
+def _lm_solve_impl(params, build_fn, retract_fn, cost_fn, num_iters,
+                   init_lamb):
 
     def step(carry, _):
         p, lamb, cost = carry

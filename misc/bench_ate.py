@@ -24,7 +24,7 @@ def main():
     enable_persistent_cache()
     H, W = int(os.environ.get("BENCH_H", 376)), int(
         os.environ.get("BENCH_W", 1241))
-    batch = int(os.environ.get("BENCH_BATCH", 12))
+    batch = int(os.environ.get("BENCH_BATCH", 20))  # bench.py default
     n_frames = int(os.environ.get("BENCH_FRAMES", 124))
     seq = make_sequence(num_frames=n_frames, H=H, W=W, num_points=3000,
                         fps=10.0, speed=1.4, seed=0)
