@@ -1174,7 +1174,7 @@ class Estimator:
         """Probe-neutral packed per-flush aux (identity correction, no
         landmark refresh/kill, uniform frame dt, no IMU): the dispatch
         payload misc/prof_pipe.py times raw pipe_step execution with."""
-        c = self.config
+        c = self.cfg
         N = c.num_features
         return self._pack_pipe_aux(
             corr=np.array([1, 0, 0, 0, 0, 0, 0], np.float32),

@@ -99,10 +99,17 @@ def blur_downsample2(img):
 
 def build_pyramid(img, levels: int = 4) -> List[jnp.ndarray]:
     """Gaussian pyramid, level 0 = full resolution. H, W must be divisible
-    by 2^(levels-1) (callers pad KITTI frames up front)."""
+    by 2^(levels-1) (callers pad KITTI frames up front).
+
+    The column decimation happens BETWEEN the separable passes: the
+    vertical filter is per-column, so dropping the discarded columns
+    first is bit-identical to blurring everything and decimating after
+    (asserted on-chip, r7) while halving the vertical pass and its
+    intermediate."""
     pyr = [img]
     for _ in range(levels - 1):
-        pyr.append(downsample2(gaussian_blur5(pyr[-1])))
+        half = _sep_h(pyr[-1], _GAUSS5)[:, ::2]
+        pyr.append(_sep_v(half, _GAUSS5)[::2, :])
     return pyr
 
 
